@@ -1,0 +1,443 @@
+"""Deterministic synthetic corpus of interleaved text+media medical reports.
+
+This module plays the role of the reference's golden-fixture corpus
+(`/root/reference/resources/test/Example.pdf` + expected TEI outputs,
+see SURVEY.md §5): a *generator* that emits, for each ``doc_id``, both
+
+* the **input** row ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``
+  (the authoritative input shape from BASELINE.json ``input_hint``), and
+* the **expected** extraction results (golden oracle): zone ranges, the final
+  ``(kind, text, media_ref, order)`` span sequence, header/left-note fields,
+  sub-entities and NER entities — the per-row invariant the engine must match.
+
+Generation is a pure function of ``(SEED, doc index)`` — no I/O, no global
+state — so it can run distributed inside ``mapInPandas`` at any scale and
+always produce the same corpus (FIXTURES.md §1 "generation pure function of
+(seed, doc_id)").
+
+Document shape mirrors the reference fixture ``processFullMedicalText.xml``:
+headnote, header block (doc number / doctype / dateline / medics / patients),
+left-note letterhead block, body with sections / subsections / paragraphs /
+items / figure+table captions adjacent to media spans / inline medic mentions,
+footnote + page-number lines, optional annex & acknowledgement tail.
+
+The extractor (operators/*) never reads the ``expected_*`` fields — it works
+from the input span text alone, exactly as the reference's CRF features do.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Iterator
+
+from .functions import lexicon as lex
+from .functions.dates import parse_date_iso
+from .functions.textnorm import dehyphenize_join, normalize_space
+
+SEED = 42
+
+#: fine-grained truth label -> coarse segmentation zone (SURVEY.md §2.4 C2/C3)
+ZONE_OF = {
+    "headnote": "headnote", "footnote": "footnote", "page": "page",
+    "header": "header", "leftnote": "leftnote",
+    "acknowledgement": "acknowledgement", "annex": "annex",
+    "section": "body", "subsection": "body", "paragraph": "body",
+    "item": "body", "medic": "body", "figure": "body", "table": "body",
+    "media_figure": "body", "media_table": "body",
+}
+
+#: output kinds whose contiguous runs merge into one span (cluster semantics,
+#: reference TaggingTokenClusteror — SURVEY.md C2); all other kinds are
+#: one-span-per-line elements (<item>, <medic>, headings, ...).
+MERGE_KINDS = {"header", "leftnote", "paragraph", "acknowledgement", "annex"}
+
+_SIZE_BUCKETS = [("small", 0.60), ("medium", 0.35), ("giant", 0.05)]
+
+
+def doc_id_str(i: int) -> str:
+    return f"doc_{i:06d}"
+
+
+# --------------------------------------------------------------------------
+# sentence/paragraph construction with tracked NER entities
+# --------------------------------------------------------------------------
+
+class _Para:
+    """Builds one paragraph string while recording entity offsets."""
+
+    def __init__(self) -> None:
+        self.text = ""
+        self.entities: list[dict[str, Any]] = []
+
+    def lit(self, s: str) -> "_Para":
+        self.text += s
+        return self
+
+    def ent(self, etype: str, surface: str) -> "_Para":
+        self.entities.append(
+            {"type": etype, "text": surface,
+             "start": len(self.text), "end": len(self.text) + len(surface)}
+        )
+        self.text += surface
+        return self
+
+
+def _sentence(rng: random.Random, p: _Para) -> None:
+    """Append one French medical sentence with NER entities to ``p``."""
+    t = rng.randrange(8)
+    if t == 0:
+        role = rng.choice(["Patient", "Patiente"])
+        p.ent("rolename", role).lit(" ayant présenté une ")
+        p.ent("pathology", rng.choice(lex.PATHOLOGY)).lit(" du ")
+        p.ent("anatomy", rng.choice(lex.ANATOMY)).lit(" traitée par ")
+        med = rng.choice(lex.MEDICAMENT)
+        dose = f"{rng.choice([150, 500, 600, 1000, 1500])} mg"
+        p.ent("medicament", f"{med} {dose}").lit(".")
+    elif t == 1:
+        proc = rng.choice(lex.PROCEDURE)
+        p.ent("procedure", proc[:1].upper() + proc[1:]).lit(" le ")
+        p.ent("date", _rand_date(rng)).lit(" devant la mauvaise évolution locale.")
+    elif t == 2:
+        p.lit("Poursuite de l'")
+        p.ent("procedure", "antibiothérapie adaptée").lit(" par ")
+        p.ent("medicament", rng.choice(lex.MEDICAMENT)).lit(" jusqu'au ")
+        p.ent("date", _rand_date(rng)).lit(".")
+    elif t == 3:
+        title = rng.choice(["Madame", "Monsieur"])
+        name = f"{title} {rng.choice(lex.FIRST_NAMES)} {rng.choice(lex.FIRST_NAMES)} {rng.choice(lex.LAST_NAMES)}"
+        p.ent("persname", name).lit(", ")
+        p.ent("perstype", rng.choice(lex.PERSTYPE)).lit(", âgée de ")
+        p.ent("value", str(rng.randrange(18, 95))).lit(" ")
+        p.ent("unit", "ans").lit(", née le ")
+        p.ent("date", _rand_date(rng)).lit(".")
+    elif t == 4:
+        p.ent("procedure", "Échographie").lit(" du ")
+        p.ent("date", f"{rng.randrange(1, 29):02d}/{rng.randrange(1, 13):02d}").lit(" (")
+        p.ent("persname", f"Dr {rng.choice(lex.LAST_NAMES).title()}").lit(") : ")
+        p.ent("procedure", "diagnostic").lit(" de ")
+        p.ent("physiology", rng.choice(lex.PHYSIOLOGY)).lit(" à ")
+        p.ent("value", str(rng.randrange(2, 40))).lit(" ")
+        p.ent("unit", "SA").lit(".")
+    elif t == 5:
+        sym = rng.choice(lex.SYMPTOM)
+        p.ent("symptom", sym[:1].upper() + sym[1:]).lit(
+            " intermittentes en regard du point de ponction.")
+    elif t == 6:
+        role = rng.choice(["Patiente", "Patient"])
+        p.ent("rolename", role).lit(" adressée aux ")
+        p.ent("location", "urgences").lit(" pour surveillance clinique.")
+    else:
+        p.lit("Vérification de l'absence de vaisseaux avec documentation sur ")
+        p.ent("substance", rng.choice(lex.SUBSTANCE)).lit(" en regard du site.")
+
+
+def _rand_date(rng: random.Random) -> str:
+    return f"{rng.randrange(1, 29):02d}/{rng.randrange(1, 13):02d}/{rng.randrange(1985, 2023)}"
+
+
+def _split_lines(rng: random.Random, text: str) -> list[str]:
+    """Split a paragraph into layout lines (the input spans), occasionally
+    hyphenating a word across lines — exactly invertible by
+    :func:`...textnorm.dehyphenize_join` (reference X4 semantics)."""
+    words = text.split(" ")
+    lines: list[str] = []
+    cur: list[str] = []
+    budget = rng.randrange(48, 80)
+    for w in words:
+        cur.append(w)
+        if sum(len(x) + 1 for x in cur) >= budget:
+            lines.append(" ".join(cur))
+            cur = []
+            budget = rng.randrange(48, 80)
+    if cur:
+        lines.append(" ".join(cur))
+    # hyphen-split: move a lowercase tail of the last word to the next line
+    if len(lines) >= 2 and rng.random() < 0.35:
+        k = rng.randrange(len(lines) - 1)
+        lw = lines[k].split(" ")
+        w = lw[-1]
+        if len(w) >= 7 and w.isalpha() and w[3:].islower() and "-" not in w:
+            cut = 3
+            lw[-1] = w[:cut] + "-"
+            lines[k] = " ".join(lw)
+            lines[k + 1] = w[cut:] + " " + lines[k + 1]
+    return lines
+
+
+# --------------------------------------------------------------------------
+# whole-document generation
+# --------------------------------------------------------------------------
+
+def generate_doc(i: int) -> dict[str, Any]:
+    """Pure deterministic generator: index -> input + golden expected outputs."""
+    rng = random.Random((SEED << 32) ^ i)
+    doc_id = doc_id_str(i)
+
+    r = rng.random()
+    bucket = "small" if r < 0.60 else ("medium" if r < 0.95 else "giant")
+    n_pages = {"small": rng.randrange(1, 3),
+               "medium": rng.randrange(3, 7),
+               "giant": rng.randrange(8, 25)}[bucket]
+    paras_per_page = {"small": (1, 3), "medium": (2, 5), "giant": (8, 30)}[bucket]
+
+    city = rng.choice(lex.CITIES)
+    spec = rng.choice(lex.SPECIALTIES)
+    headnote = f"CHU {city} - Service de {spec.title()}"
+    footnote = (f"CHU {city} - {rng.randrange(1, 99)}, "
+                f"{rng.choice(lex.STREETS)} - {rng.randrange(10, 96) * 1000:05d} {city}")
+
+    # truth-labeled line stream: (label, text, media_ref, para_seq)
+    lines: list[tuple[str, str, str, int]] = []
+    para_texts: list[str] = []                      # per generated paragraph
+    para_entities: list[list[dict[str, Any]]] = []  # offsets into para text
+    media_count = 0
+
+    def emit(label: str, text: str, ref: str = "", pseq: int = -1) -> None:
+        lines.append((label, text, ref, pseq))
+
+    # ---- page 1 front matter -------------------------------------------
+    emit("headnote", headnote)
+
+    header: dict[str, Any] = {k: "" for k in (
+        "docnum", "doctype", "title", "date_iso", "time", "dateline",
+        "affiliation", "address", "org", "email", "phone", "fax", "web", "note")}
+    header["medics"], header["patients"] = [], []
+    medics_fix: list[dict[str, Any]] = []
+    patients_fix: list[dict[str, Any]] = []
+    datelines_fix: list[dict[str, Any]] = []
+    person_names: list[dict[str, Any]] = []
+
+    docnum = str(rng.randrange(10**8, 10**9))
+    emit("header", f"N° {docnum}")
+    header["docnum"] = docnum
+
+    doctype = rng.choice(lex.DOCTYPES)
+    emit("header", doctype)
+    header["doctype"] = doctype
+    header["title"] = doctype
+
+    issued = _rand_date(rng)
+    dl_time = f"{rng.randrange(8, 19)}h{rng.randrange(0, 60):02d}" if rng.random() < 0.3 else ""
+    dateline = f"{city}, le {issued}" + (f", à {dl_time}" if dl_time else "")
+    emit("header", dateline)
+    header["dateline"] = dateline
+    header["date_iso"] = parse_date_iso(issued) or ""
+    header["time"] = dl_time
+    datelines_fix.append({"idx": 0, "doctype": "", "placename": city,
+                          "date": issued, "time": dl_time, "note": ""})
+
+    for midx in range(rng.randrange(1, 4)):
+        fn, ln = rng.choice(lex.FIRST_NAMES), rng.choice(lex.LAST_NAMES)
+        role = rng.choice(lex.ROLES)
+        pers = f"Dr {fn} {ln}"
+        emit("header", f"{pers}, {role}")
+        header["medics"].append(pers)
+        medics_fix.append({"idx": midx, "idno": "", "role": role, "persname": pers,
+                           "affiliation": "", "organisation": "", "institution": "",
+                           "address": "", "country": "", "town": "", "email": "",
+                           "phone": "", "fax": "", "web": "", "note": ""})
+        person_names.append({"idx": len(person_names), "title": "Dr", "forename": fn,
+                             "middlename": "", "surname": ln, "suffix": ""})
+
+    ipp = str(rng.randrange(10**8, 10**9))
+    emit("header", f"IPP : {ipp}")
+    ptitle = rng.choice(["Madame", "Monsieur"])
+    pf, pm, pl = (rng.choice(lex.FIRST_NAMES), rng.choice(lex.FIRST_NAMES),
+                  rng.choice(lex.LAST_NAMES))
+    ppers = f"{ptitle} {pf} {pm} {pl}"
+    emit("header", ppers)
+    birth = _rand_date(rng)
+    emit("header", f"Né(e) le {birth}")
+    age = f"{rng.randrange(1, 99)} ans"
+    emit("header", age)
+    paddr = (f"Demeurant : {rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
+             f"{rng.choice(lex.CITIES)}")
+    emit("header", paddr)
+    header["patients"].append(ppers)
+    patients_fix.append({"idx": 0, "id": ipp, "idtype": "IPP", "persname": ppers,
+                         "sex": "", "birthdate": birth, "age": age, "birthplace": "",
+                         "deathdate": "", "address": paddr.replace("Demeurant : ", ""),
+                         "country": "", "town": "", "phone": "", "email": "", "note": ""})
+    person_names.append({"idx": len(person_names), "title": ptitle, "forename": pf,
+                         "middlename": pm, "surname": pl, "suffix": ""})
+
+    # ---- left-note letterhead -------------------------------------------
+    pole = f"Pôle {rng.choice(['Femmes - Mères - Enfants', 'Urgences', 'Chirurgie', 'Imagerie'])}"
+    service = f"SERVICE DE {spec}"
+    ln_street = f"{rng.randrange(1, 99)}, {rng.choice(lex.STREETS)}"
+    ln_pc = f"{rng.randrange(10, 96) * 1000:05d} {city} Cedex"
+    ln_tel = (f"Tél : 01 {rng.randrange(10, 100)} {rng.randrange(10, 100)} "
+              f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
+    ln_fax = (f"Fax : 01 {rng.randrange(10, 100)} {rng.randrange(10, 100)} "
+              f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
+    for t in (pole, service, ln_street, ln_pc, ln_tel, ln_fax):
+        emit("leftnote", t)
+    leftnote = {
+        "idno": "", "org": f"{pole} {service}",
+        "address": f"{ln_street} {ln_pc}", "country": "France",
+        "settlement": city, "phone": ln_tel.split(": ", 1)[1],
+        "fax": ln_fax.split(": ", 1)[1], "email": "", "web": "",
+        "medics": [], "note": "",
+    }
+
+    # ---- body pages -------------------------------------------------------
+    for page in range(1, n_pages + 1):
+        if page > 1:
+            emit("headnote", headnote)
+        n_paras = rng.randrange(*paras_per_page)
+        emit("section", f"{rng.choice(lex.SECTIONS)} :")
+        for _ in range(n_paras):
+            roll = rng.random()
+            if roll < 0.12:
+                emit("subsection", f"{rng.choice(lex.SUBSECTIONS)} :")
+            elif roll < 0.20 and page == n_pages:
+                emit("section", f"{rng.choice(lex.SECTIONS)} :")
+            p = _Para()
+            for _ in range(rng.randrange(1, 4)):
+                if p.text:
+                    p.lit(" ")
+                _sentence(rng, p)
+            pseq = len(para_texts)
+            para_texts.append(p.text)
+            para_entities.append(p.entities)
+            for text_line in _split_lines(rng, p.text):
+                emit("paragraph", text_line, pseq=pseq)
+            extra = rng.random()
+            if extra < 0.15:
+                for _ in range(rng.randrange(2, 5)):
+                    emit("item", f"- {rng.choice(lex.MEDICAMENT)} "
+                                 f"{rng.choice([150, 250, 500, 1000])} mg")
+            elif extra < 0.25:
+                media_count += 1
+                ref = f"img_{doc_id}_{media_count}"
+                kind = rng.choice(["figure", "table"])
+                emit(f"media_{kind}", "", ref)
+                word = "Figure" if kind == "figure" else "Tableau"
+                cap = rng.choice(["coupe échographique", "bilan biologique",
+                                  "cliché thoracique", "évolution de la CRP"])
+                emit(kind, f"{word} {media_count} : {cap}", ref)
+            elif extra < 0.32:
+                emit("medic", f"Docteur {rng.choice(lex.FIRST_NAMES)} "
+                              f"{rng.choice(lex.LAST_NAMES)}")
+        if page == n_pages:
+            if rng.random() < 0.25:
+                emit("acknowledgement",
+                     "Remerciements : à l'équipe soignante du service.")
+            if rng.random() < 0.25:
+                emit("annex", "ANNEXE :")
+                for _ in range(rng.randrange(1, 3)):
+                    emit("annex",
+                         f"Résultats complémentaires transmis le {_rand_date(rng)}.")
+        emit("footnote", footnote)
+        emit("page", f"{page}/{n_pages}")
+
+    # ---- input spans -------------------------------------------------------
+    spans = []
+    for off, (label, text, ref, _pseq) in enumerate(lines):
+        is_media = label.startswith("media_")
+        spans.append({"kind": "media" if is_media else "text",
+                      "text": "" if is_media else text,
+                      "media_ref": ref if is_media else "",
+                      "offset": off})
+
+    # ---- expected outputs (golden oracle) ----------------------------------
+    expected_spans: list[dict[str, Any]] = []
+    expected_entities: list[dict[str, Any]] = []
+    zones: list[dict[str, Any]] = []
+    j = 0
+    while j < len(lines):
+        label, text, ref, pseq = lines[j]
+        if label.startswith("media_"):
+            # media + caption fuse into one figure/table span (reference T5:
+            # doc.assignGraphicObjectsToFigures, FullMedicalTextParser:5465)
+            cap_label, cap_text, cap_ref, _ = lines[j + 1]
+            expected_spans.append({"kind": cap_label,
+                                   "text": normalize_space(cap_text),
+                                   "media_ref": ref})
+            j += 2
+            continue
+        if label in MERGE_KINDS:
+            k = j
+            run: list[str] = []
+            pseqs: list[int] = []
+            while k < len(lines) and lines[k][0] == label:
+                run.append(lines[k][1])
+                if lines[k][3] >= 0 and lines[k][3] not in pseqs:
+                    pseqs.append(lines[k][3])
+                k += 1
+            merged = dehyphenize_join(run)
+            if label == "paragraph":
+                # adjacent generated paragraphs fuse into one cluster; entity
+                # offsets shift by the preceding paragraphs' lengths + joiner
+                base = 0
+                for ps in pseqs:
+                    for e in para_entities[ps]:
+                        expected_entities.append(
+                            {"type": e["type"], "text": e["text"],
+                             "start": e["start"] + base, "end": e["end"] + base,
+                             "span_order": len(expected_spans)})
+                    base += len(para_texts[ps]) + 1
+            expected_spans.append({"kind": label, "text": merged, "media_ref": ""})
+            j = k
+            continue
+        expected_spans.append({"kind": label, "text": normalize_space(text),
+                               "media_ref": ""})
+        j += 1
+    for order, sp in enumerate(expected_spans):
+        sp["order"] = order
+
+    # coarse zone ranges via RLE over span indices (half-open)
+    zlabels = [ZONE_OF[lab] for lab, _, _, _ in lines]
+    start = 0
+    for k in range(1, len(zlabels) + 1):
+        if k == len(zlabels) or zlabels[k] != zlabels[start]:
+            zones.append({"zone": zlabels[start], "start": start, "end": k,
+                          "order": len(zones)})
+            start = k
+
+    return {
+        "doc_id": doc_id, "bucket": bucket, "n_pages": n_pages,
+        "spans": spans, "expected_spans": expected_spans, "zones": zones,
+        "header": header, "leftnote": leftnote,
+        "medics": medics_fix, "patients": patients_fix,
+        "datelines": datelines_fix, "person_names": person_names,
+        "entities": expected_entities,
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark-side corpus materialization (distributed; scales to any n_docs)
+# --------------------------------------------------------------------------
+
+INPUT_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def corpus_df(spark, n_docs: int, partitions: int | None = None):
+    """Input table ``(doc_id, spans)`` generated distributed via mapInPandas.
+
+    ``spark.range`` gives a splittable seed column; generation happens on
+    executors, so a 10^12-doc corpus is as partitionable as its id range
+    (no driver-side materialization).
+    """
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [generate_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "doc_id": [d["doc_id"] for d in docs],
+                "spans": [d["spans"] for d in docs],
+            })
+
+    return rng_df.mapInPandas(gen, schema=INPUT_SCHEMA)
+
+
+def expected_docs(n_docs: int) -> list[dict[str, Any]]:
+    """Driver-side golden fixtures for test-scale corpora."""
+    return [generate_doc(i) for i in range(n_docs)]

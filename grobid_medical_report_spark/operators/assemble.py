@@ -1,0 +1,137 @@
+"""Per-document fused extraction kernel: spans in -> full extraction out.
+
+This is the engine's hot path: one pure-Python/numpy function per document,
+called from ``mapInPandas`` over Arrow batches (plans/pipeline.py). It fuses
+the reference's whole cascade (SURVEY.md §3.1 steps 4-7) into one pass, per
+the north star ("PDF/layout parse and DOM-heuristic boilerplate stripping
+fused into one mapInPandas pass"):
+
+  segmenter decode (zones)           MedicalReportSegmenterParser.java:104-149
+  -> header + left-note parse        HeaderMedicalParser.java:239-389
+  -> body structuring                FullMedicalTextParser.java:106-206
+  -> NER over paragraphs             FrenchMedicalNERParser.java:79-271
+  -> ordered span-sequence assembly  TEIFormatter.toTEIBody:595-619 /
+                                     toTEITextPiece:766-1024
+
+Output span contract: ``(kind, text, media_ref, order)`` per doc — the
+north-rule per-row invariant. Cluster merging (contiguous same-label lines ->
+one span, with de-hyphenization repair, reference X4
+LayoutTokensUtil.normalizeDehyphenizeText) follows SURVEY.md C2.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..functions.textnorm import dehyphenize_join, normalize_space
+from .body import label_body_line
+from .header import parse_header_zone
+from .leftnote import parse_leftnote_zone
+from .ner import extract_entities
+from .segmenter import segment_doc
+
+#: output kinds whose contiguous runs merge into one span (corpus.MERGE_KINDS)
+MERGE_KINDS = {"header", "leftnote", "paragraph", "acknowledgement", "annex"}
+
+
+def extract_doc(doc_id: str, spans: list[dict[str, Any]],
+                max_spans: int | None = None) -> dict[str, Any]:
+    """Full extraction for one document. Never raises: failures and oversize
+    docs are routed to ``status`` (per-row failure isolation, SURVEY.md S3;
+    oversize guard P3 analog of getPdfTokensMax)."""
+    spans = [] if spans is None else list(spans)  # Arrow hands a numpy array
+    base = {
+        "doc_id": doc_id, "spans": [], "zones": [], "header": None,
+        "leftnote": None, "medics": [], "patients": [], "datelines": [],
+        "person_names": [], "entities": [], "n_spans": len(spans),
+        "status": "ok",
+    }
+    try:
+        if not spans:
+            base["status"] = "empty"
+            return base
+        if max_spans is not None and len(spans) > max_spans:
+            base["status"] = "oversize"
+            return base
+
+        spans = sorted(spans, key=lambda s: s["offset"])  # reading order (O1)
+        texts = [normalize_space(s["text"] or "") for s in spans]
+        refs = [s["media_ref"] or "" for s in spans]
+        is_media = np.array([s["kind"] == "media" for s in spans], dtype=bool)
+
+        # stage 1: segmentation (coarse zones per line)
+        zone_labels = segment_doc(texts, is_media)
+        base["zones"] = _rle(zone_labels)
+
+        # stage 2: body model -> fine label per line
+        fine = list(zone_labels)
+        for i, z in enumerate(zone_labels):
+            if z == "body":
+                prev_media = bool(i > 0 and is_media[i - 1]
+                                  and zone_labels[i - 1] == "body")
+                fine[i] = label_body_line(texts[i], bool(is_media[i]), prev_media)
+
+        # stage 3: header / left-note field models + sub-entity cascade
+        hdr = parse_header_zone([texts[i] for i, z in enumerate(zone_labels)
+                                 if z == "header"])
+        base["header"] = hdr["header"]
+        base["medics"] = hdr["medics"]
+        base["patients"] = hdr["patients"]
+        base["datelines"] = hdr["datelines"]
+        base["person_names"] = hdr["person_names"]
+        base["leftnote"] = parse_leftnote_zone(
+            [texts[i] for i, z in enumerate(zone_labels) if z == "leftnote"])
+
+        # stage 4: span-sequence assembly + NER over paragraph clusters
+        out_spans: list[dict[str, Any]] = []
+        entities: list[dict[str, Any]] = []
+        n = len(texts)
+        j = 0
+        while j < n:
+            lab = fine[j]
+            if lab == "media":
+                # fuse media + caption into figure/table span (T5)
+                if j + 1 < n and fine[j + 1] in ("figure", "table"):
+                    out_spans.append({"kind": fine[j + 1],
+                                      "text": texts[j + 1],
+                                      "media_ref": refs[j]})
+                    j += 2
+                else:
+                    out_spans.append({"kind": "figure", "text": "",
+                                      "media_ref": refs[j]})
+                    j += 1
+                continue
+            if lab in MERGE_KINDS:
+                k = j
+                while k < n and fine[k] == lab:
+                    k += 1
+                merged = dehyphenize_join(texts[j:k])
+                if lab == "paragraph":
+                    for e in extract_entities(merged):
+                        entities.append({**e, "span_order": len(out_spans)})
+                out_spans.append({"kind": lab, "text": merged, "media_ref": ""})
+                j = k
+                continue
+            out_spans.append({"kind": lab, "text": texts[j], "media_ref": ""})
+            j += 1
+        for order, sp in enumerate(out_spans):
+            sp["order"] = order
+        base["spans"] = out_spans
+        base["entities"] = entities
+        return base
+    except Exception as exc:  # per-row isolation: never poison the partition
+        base["status"] = f"error: {type(exc).__name__}: {exc}"
+        return base
+
+
+def _rle(labels: list[str]) -> list[dict[str, Any]]:
+    out: list[dict[str, Any]] = []
+    start = 0
+    for k in range(1, len(labels) + 1):
+        if k == len(labels) or labels[k] != labels[start]:
+            out.append({"zone": labels[start], "start": start, "end": k,
+                        "order": len(out)})
+            start = k
+    return out

@@ -1,0 +1,50 @@
+"""Body structuring: fine-grained labels over body-zone lines.
+
+Re-expresses the reference's `full-medical-text` model
+(FullMedicalTextParser.java:106-206, getBodyTextFeatured:319-723) which labels
+body content as title/section/subsection/paragraph/item/figure/table/medic.
+Here the labeling is a deterministic rule cascade over line content, followed
+by the same cluster semantics (contiguous same-label runs merge — reference
+TaggingTokenClusteror, SURVEY.md C2) applied at assembly time.
+
+Figure/table handling mirrors the reference's graphics assignment
+(FullMedicalTextParser.processFigures:5429-5467, processTables:5599-5647 and
+doc.assignGraphicObjectsToFigures at :5465): a media span followed by a
+caption line fuses into one figure/table span carrying the media_ref.
+"""
+
+from __future__ import annotations
+
+import re
+
+RE_SECTION = re.compile(r"^[A-ZÀ-ÖØ-Þ][A-ZÀ-ÖØ-Þ' ]{2,} ?:$")
+RE_SUBSECTION = re.compile(r"^[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ' ]+ ?:$")
+RE_ITEM = re.compile(r"^- ")
+RE_FIGURE_CAP = re.compile(r"^Figure \d+ ?:")
+RE_TABLE_CAP = re.compile(r"^Tableau \d+ ?:")
+RE_MEDIC_BODY = re.compile(
+    r"^(?:Docteur|Dr|Pr)\.? [A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+ [A-ZÀ-ÖØ-Þ]{2,}$")
+
+
+def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
+    """Fine label for one body-zone line (C1 analog for the body model)."""
+    if is_media:
+        return "media"
+    if prev_is_media:
+        if RE_FIGURE_CAP.match(text):
+            return "figure"
+        if RE_TABLE_CAP.match(text):
+            return "table"
+    if RE_FIGURE_CAP.match(text):
+        return "figure"
+    if RE_TABLE_CAP.match(text):
+        return "table"
+    if RE_ITEM.match(text):
+        return "item"
+    if RE_MEDIC_BODY.fullmatch(text):
+        return "medic"
+    if RE_SECTION.fullmatch(text):
+        return "section"
+    if RE_SUBSECTION.fullmatch(text):
+        return "subsection"
+    return "paragraph"

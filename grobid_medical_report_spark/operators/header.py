@@ -1,0 +1,126 @@
+"""Header-zone field extraction + sub-entity cascade.
+
+Re-expresses the reference's `header-medical-report` model and its cascade
+(HeaderMedicalParser.processingHeaderLeftNoteSection:239-389,
+resultExtraction:1229-1349; child parsers DatelineParser.java:104-199,
+MedicParser.java:57-233, PatientParser.java:58-222,
+PersonNameParser.java:56-...): label each header-zone line with a field,
+pivot label->field with ``"; "`` concat-dedup merges (A1), keep-longest date /
+keep-first time (A2), ISO date normalization (X5), and run the sub-entity
+parsers (dateline -> place/date/time, medic -> persname/role, patient ->
+idno/persname/birth/age/address, person-name -> title/forename/surname).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from ..functions.dates import parse_date_iso
+from ..functions.textnorm import merge_field, normalize_space
+from .segmenter import (RE_AGE, RE_BIRTH, RE_DATELINE, RE_DOCNUM, RE_DOCTYPE,
+                        RE_IDNO, RE_MEDIC_LINE, RE_PADDR, RE_PATIENT_NAME)
+
+_EMPTY_HEADER: dict[str, Any] = {k: "" for k in (
+    "docnum", "doctype", "title", "date_iso", "time", "dateline",
+    "affiliation", "address", "org", "email", "phone", "fax", "web", "note")}
+
+RE_MEDIC_SPLIT = re.compile(r"^((?:Dr|Docteur|Pr)\.? .+?), (.+)$")
+_TITLES = ("Dr", "Docteur", "Pr", "Professeur", "Madame", "Monsieur", "Mme", "M.")
+
+
+def parse_person_name(persname: str) -> dict[str, str]:
+    """PersonNameParser analog (reference PersonName.java:26-33)."""
+    toks = persname.split(" ")
+    title = toks[0] if toks and toks[0].rstrip(".") in [t.rstrip(".") for t in _TITLES] else ""
+    rest = toks[1:] if title else toks
+    surname = rest[-1] if rest else ""
+    forename = rest[0] if len(rest) >= 2 else ""
+    middle = " ".join(rest[1:-1]) if len(rest) >= 3 else ""
+    return {"title": title, "forename": forename, "middlename": middle,
+            "surname": surname, "suffix": ""}
+
+
+def parse_header_zone(lines: list[str]) -> dict[str, Any]:
+    """Header lines -> (header struct, medics, patients, datelines, person_names)."""
+    h = dict(_EMPTY_HEADER)
+    medics: list[dict[str, Any]] = []
+    patients: list[dict[str, Any]] = []
+    datelines: list[dict[str, Any]] = []
+    person_names: list[dict[str, Any]] = []
+    medic_names: list[str] = []
+    patient_names: list[str] = []
+    cur_patient: dict[str, Any] | None = None
+
+    def patient() -> dict[str, Any]:
+        nonlocal cur_patient
+        if cur_patient is None:
+            cur_patient = {
+                "idx": len(patients), "id": "", "idtype": "", "persname": "",
+                "sex": "", "birthdate": "", "age": "", "birthplace": "",
+                "deathdate": "", "address": "", "country": "", "town": "",
+                "phone": "", "email": "", "note": ""}
+            patients.append(cur_patient)
+        return cur_patient
+
+    for raw in lines:
+        t = normalize_space(raw)
+        if RE_DOCNUM.fullmatch(t):
+            h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
+            continue
+        m = RE_DATELINE.fullmatch(t)
+        if m:
+            h["dateline"] = merge_field(h["dateline"], t)
+            iso = parse_date_iso(m.group(2)) or ""
+            if len(iso) > len(h["date_iso"]):        # keep-longest (A2)
+                h["date_iso"] = iso
+            if m.group(3) and not h["time"]:          # keep-first (A2)
+                h["time"] = m.group(3)
+            datelines.append({"idx": len(datelines), "doctype": "",
+                              "placename": m.group(1), "date": m.group(2),
+                              "time": m.group(3) or "", "note": ""})
+            continue
+        m = RE_MEDIC_SPLIT.fullmatch(t)
+        if m and RE_MEDIC_LINE.fullmatch(t):
+            pers, role = m.group(1), m.group(2)
+            medic_names.append(pers)
+            medics.append({"idx": len(medics), "idno": "", "role": role,
+                           "persname": pers, "affiliation": "", "organisation": "",
+                           "institution": "", "address": "", "country": "",
+                           "town": "", "email": "", "phone": "", "fax": "",
+                           "web": "", "note": ""})
+            pn = parse_person_name(pers)
+            person_names.append({"idx": len(person_names), **pn})
+            continue
+        if RE_IDNO.fullmatch(t):
+            p = patient()
+            p["id"] = merge_field(p["id"], t.split(":", 1)[1].strip())
+            p["idtype"] = "IPP"
+            continue
+        if RE_PATIENT_NAME.fullmatch(t):
+            p = patient()
+            p["persname"] = merge_field(p["persname"], t)
+            patient_names.append(t)
+            pn = parse_person_name(t)
+            person_names.append({"idx": len(person_names), **pn})
+            continue
+        if RE_BIRTH.fullmatch(t):
+            patient()["birthdate"] = t.split("le", 1)[1].strip()
+            continue
+        if RE_AGE.fullmatch(t):
+            patient()["age"] = t
+            continue
+        if RE_PADDR.fullmatch(t):
+            p = patient()
+            p["address"] = merge_field(p["address"], t.split(":", 1)[1].strip())
+            continue
+        if RE_DOCTYPE.fullmatch(t):
+            h["doctype"] = merge_field(h["doctype"], t)
+            h["title"] = h["doctype"]
+            continue
+        h["note"] = merge_field(h["note"], t)   # unrecognized -> note
+
+    h["medics"] = medic_names
+    h["patients"] = patient_names
+    return {"header": h, "medics": medics, "patients": patients,
+            "datelines": datelines, "person_names": person_names}

@@ -1,0 +1,102 @@
+"""French medical NER over body paragraph text.
+
+Re-expresses the reference's `fr-medical-ner` model
+(FrenchMedicalNERParser.java:79-271, resultExtraction:560-735; term sets
+MedicalNERLexicon.java:26-101, positions via
+MedicalNERLexiconPositionsIndexes.computeIndexes:28-44) as a deterministic
+lexicon + regex matcher:
+
+* gazetteer longest-match scan (case-insensitive, word-boundary), the Spark
+  analog of the reference's broadcast FastMatcher tries (SURVEY.md F9/J1) —
+  the term sets are broadcast once per executor and shared across Arrow
+  batches;
+* regex entities: dates (dd/mm/yyyy and dd/mm), value+unit pairs, person
+  names (title + capitalized name sequence), role names;
+* medicament dose extension: ``<medicament> 1500 mg [*2]`` labels as ONE
+  medicament entity, matching the reference fixture
+  (processFrenchMedicalNERFromText.xml: "Daptomycine 1500 mg",
+  "Linézolide 600 mg *2");
+* greedy left-to-right longest-match conflict resolution.
+
+Entity spans carry char offsets into the paragraph span text; correctness is
+asserted against the reference's NER text fixture verbatim
+(tests/test_ner_fixture.py) and against the synthetic golden corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from ..functions import lexicon as lex
+
+_UP = "A-ZÀ-ÖØ-Þ"
+_LO = "a-zà-öø-ÿ"
+
+RE_DATE_FULL = re.compile(r"\b\d{1,2}/\d{1,2}/\d{2,4}\b")
+RE_DATE_PARTIAL = re.compile(r"\b\d{1,2}/\d{1,2}\b")
+RE_VALUE_UNIT = re.compile(r"\b(\d+) (ans|SA|mg|ml|cm|kg)\b")
+RE_PERSNAME = re.compile(
+    rf"\b(?:Madame|Monsieur|Docteur|Dr|Pr)(?: [{_UP}][\w{_LO}]*)+")
+RE_ROLENAME = re.compile(r"\b(Patiente?|Opérateur|Anesthésiste)\b")
+RE_DOSE_EXT = re.compile(r" \d+ ?mg(?: ?\*\d+)?")
+
+_PRIORITY = {  # lower = stronger when same start & length
+    "medicament": 0, "pathology": 1, "symptom": 1, "physiology": 1,
+    "procedure": 2, "anatomy": 3, "substance": 3, "device": 3,
+    "persname": 4, "perstype": 4, "location": 5, "rolename": 5,
+    "date": 6, "value": 7, "unit": 7,
+}
+
+
+def _compile_term_patterns() -> list[tuple[str, re.Pattern]]:
+    pats: list[tuple[str, re.Pattern]] = []
+    for cat, terms in lex.NER_TERM_SETS.items():
+        for t in sorted(terms, key=len, reverse=True):
+            pats.append((cat, re.compile(rf"(?<![\w]){re.escape(t)}(?![\w])",
+                                         re.IGNORECASE)))
+    return pats
+
+
+_TERM_PATTERNS = _compile_term_patterns()
+
+
+def extract_entities(text: str) -> list[dict[str, Any]]:
+    """All NER entities in one paragraph text, left-to-right, non-overlapping."""
+    cands: list[tuple[int, int, str, str]] = []  # (start, end, type, surface)
+
+    for cat, rx in _TERM_PATTERNS:
+        for m in rx.finditer(text):
+            s, e = m.start(), m.end()
+            if cat == "medicament":
+                ext = RE_DOSE_EXT.match(text, e)
+                if ext:
+                    e = ext.end()
+            cands.append((s, e, cat, text[s:e]))
+
+    for m in RE_DATE_FULL.finditer(text):
+        cands.append((m.start(), m.end(), "date", m.group(0)))
+    for m in RE_DATE_PARTIAL.finditer(text):
+        cands.append((m.start(), m.end(), "date", m.group(0)))
+    for m in RE_VALUE_UNIT.finditer(text):
+        cands.append((m.start(1), m.end(1), "value", m.group(1)))
+        cands.append((m.start(2), m.end(2), "unit", m.group(2)))
+    for m in RE_PERSNAME.finditer(text):
+        s, e = m.start(), m.end()
+        # trailing period folds in at end-of-text (fixture: "...ROUX.")
+        if e == len(text) - 1 and text.endswith("."):
+            e += 1
+        cands.append((s, e, "persname", text[s:e]))
+    for m in RE_ROLENAME.finditer(text):
+        if text[m.start()].isupper():
+            cands.append((m.start(), m.end(), "rolename", m.group(0)))
+
+    # greedy left-to-right, longest-match, priority tie-break
+    cands.sort(key=lambda c: (c[0], -(c[1] - c[0]), _PRIORITY.get(c[2], 9)))
+    out: list[dict[str, Any]] = []
+    taken_until = -1
+    for s, e, cat, surface in cands:
+        if s > taken_until:
+            out.append({"type": cat, "text": surface, "start": s, "end": e})
+            taken_until = e - 1
+    return out

@@ -1,0 +1,172 @@
+"""Zone segmentation: interleaved spans -> coarse zone label per line.
+
+Re-expresses the reference's `medical-report-segmenter` model
+(MedicalReportSegmenterParser.java:104-149 + getFeatureVectorsAsString:295-624,
+FeaturesVectorMedical.printVector:56-226) as a deterministic sequence
+classifier with the same *shape* as a CRF decode:
+
+    per-line feature extraction (regex/position/repetition features)
+      -> emission score matrix (lines x labels) from a weight table
+      -> Viterbi DP with a transition matrix (e.g. annex continuation)
+      -> per-line argmax-path zone labels
+
+The features mirror the reference's line-level segmenter features (SURVEY.md
+F2/F3): content patterns, page-relative position (page boundaries recovered
+from page-number lines), repetitive-pattern counts across pages (the
+headnote/footnote detector, MedicalReportSegmenterParser.java:258-288), and a
+front-matter gate (header/left-note labels only before the first body section
+on page 1 — the analog of the reference's pages-0-2 header scope,
+EngineMedical.java:175-178).
+
+Pure numpy/regex — runs inside ``mapInPandas`` batches, no Spark imports.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+#: decode states use B-I encoding for annex (the analog of the reference's
+#: `I-<label>` begin markers consumed by TaggingTokenClusteror): annex_i is
+#: only reachable from annex_b/annex_i, so an annex run can start only at an
+#: "ANNEXE" marker line — a genuine sequence constraint that motivates the
+#: Viterbi decode.
+STATES = ["headnote", "footnote", "page", "header", "leftnote", "body",
+          "acknowledgement", "annex_b", "annex_i"]
+_Z = {z: i for i, z in enumerate(STATES)}
+_OUT = {"annex_b": "annex", "annex_i": "annex"}
+
+RE_PAGE = re.compile(r"^\d+\s*/\s*\d+$")
+RE_HEADNOTE = re.compile(r"^CHU [A-ZÀ-ÖØ-Þ ]+ - Service de .+$")
+RE_FOOTNOTE = re.compile(r"^CHU .+ - \d+, .+ - \d{5} .+$")
+RE_SECTION = re.compile(r"^[A-ZÀ-ÖØ-Þ][A-ZÀ-ÖØ-Þ' ]{2,} ?:$")
+RE_ACK = re.compile(r"^Remerciements\b")
+RE_ANNEX_START = re.compile(r"^ANNEXE\b")
+
+# front-matter (header zone) field patterns — reused by the header parser
+RE_DOCNUM = re.compile(r"^N° ?\d+$")
+RE_DOCTYPE = re.compile(r"^[A-ZÀ-ÖØ-Þ][A-ZÀ-ÖØ-Þ' ]+$")
+RE_DATELINE = re.compile(
+    r"^([A-ZÀ-ÖØ-Þ ]+), le (\d{1,2}/\d{1,2}/\d{2,4})(?:, à (\d{1,2}h\d{2}))?$")
+RE_MEDIC_LINE = re.compile(r"^(?:Dr|Docteur|Pr)\.? .+, .+$")
+RE_IDNO = re.compile(r"^IPP ?: ?\d+$")
+RE_PATIENT_NAME = re.compile(r"^(?:Madame|Monsieur) .+$")
+RE_BIRTH = re.compile(r"^Né\(e\) le .+$")
+RE_AGE = re.compile(r"^\d+ ans$")
+RE_PADDR = re.compile(r"^Demeurant ?: .+$")
+
+# left-note letterhead patterns
+RE_POLE = re.compile(r"^Pôle .+$")
+RE_SERVICE = re.compile(r"^SERVICE DE .+$")
+RE_STREET = re.compile(r"^\d+, .+$")
+RE_POSTCODE = re.compile(r"^\d{5} [A-ZÀ-ÖØ-Þ ]+(?: Cedex)?$")
+RE_TEL = re.compile(r"^Tél ?: .+$")
+RE_FAX = re.compile(r"^Fax ?: .+$")
+
+_LEFTNOTE_RES = (RE_POLE, RE_SERVICE, RE_STREET, RE_POSTCODE, RE_TEL, RE_FAX)
+_HEADER_RES = (RE_DOCNUM, RE_DATELINE, RE_MEDIC_LINE, RE_IDNO,
+               RE_PATIENT_NAME, RE_BIRTH, RE_AGE, RE_PADDR)
+
+# transition matrix: annex_i reachable only from annex_b/annex_i (B-I
+# constraint); small continuation bonus keeps a plain text line after an
+# ANNEXE marker inside the annex — a sequence dependency a per-line
+# classifier cannot express, which is why the decode is a Viterbi DP.
+_TRANS = np.zeros((len(STATES), len(STATES)), dtype=np.float64)
+_TRANS[:, _Z["annex_i"]] = -1e9
+_TRANS[_Z["annex_b"], _Z["annex_i"]] = 0.2
+_TRANS[_Z["annex_i"], _Z["annex_i"]] = 0.2
+
+
+def _emissions(texts: list[str], is_media: np.ndarray) -> np.ndarray:
+    """Lines x zones emission score matrix (the featurize+score half of C1)."""
+    n = len(texts)
+    em = np.zeros((n, len(STATES)), dtype=np.float64)
+    em[:, _Z["body"]] = 1.0          # default label
+    em[:, _Z["annex_i"]] = 0.9       # 0.9 + 0.2 continuation > body 1.0
+    em[:, _Z["annex_b"]] = -1e9      # emitted only at an ANNEXE marker line
+
+    # page boundaries from page-number lines -> per-line page index
+    page_mark = np.fromiter((bool(RE_PAGE.fullmatch(t)) for t in texts),
+                            dtype=bool, count=n)
+    page_idx = np.concatenate(([0], np.cumsum(page_mark)[:-1]))
+
+    # repetitive-pattern counts (F3 analog, the boilerplate detector)
+    counts: dict[str, int] = {}
+    for t in texts:
+        if t:
+            counts[t] = counts.get(t, 0) + 1
+
+    # front gate: on page 1, before the first section heading
+    first_section = n
+    for i, t in enumerate(texts):
+        if RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t):
+            first_section = i
+            break
+
+    for i, t in enumerate(texts):
+        if is_media[i]:
+            em[i, _Z["body"]] = 10.0
+            continue
+        if page_mark[i]:
+            em[i, _Z["page"]] = 10.0
+            continue
+        if RE_HEADNOTE.fullmatch(t):
+            em[i, _Z["headnote"]] = 10.0 + counts.get(t, 0) * 0.1
+            continue
+        if RE_FOOTNOTE.fullmatch(t):
+            em[i, _Z["footnote"]] = 10.0 + counts.get(t, 0) * 0.1
+            continue
+        if RE_ACK.match(t):
+            em[i, _Z["acknowledgement"]] = 10.0
+            continue
+        if RE_ANNEX_START.match(t):
+            em[i, _Z["annex_b"]] = 10.0
+            continue
+        if page_idx[i] == 0 and i < first_section:
+            if any(rx.fullmatch(t) for rx in _LEFTNOTE_RES):
+                em[i, _Z["leftnote"]] = 8.0
+            elif any(rx.fullmatch(t) for rx in _HEADER_RES) or RE_DOCTYPE.fullmatch(t):
+                em[i, _Z["header"]] = 8.0
+            else:
+                em[i, _Z["header"]] = 4.0   # unrecognized front matter -> header
+    return em
+
+
+def viterbi(em: np.ndarray, trans: np.ndarray = _TRANS) -> np.ndarray:
+    """Max-score path decode (the `label()` half of C1,
+    reference AbstractParser.label -> Wapiti JNI)."""
+    n, k = em.shape
+    dp = em[0].copy()
+    back = np.zeros((n, k), dtype=np.int32)
+    for i in range(1, n):
+        cand = dp[:, None] + trans          # k x k
+        back[i] = np.argmax(cand, axis=0)
+        dp = cand[back[i], np.arange(k)] + em[i]
+    path = np.zeros(n, dtype=np.int32)
+    path[-1] = int(np.argmax(dp))
+    for i in range(n - 1, 0, -1):
+        path[i - 1] = back[i, path[i]]
+    return path
+
+
+def segment_doc(texts: list[str], is_media: np.ndarray) -> list[str]:
+    """Coarse zone label per input line."""
+    if not texts:
+        return []
+    em = _emissions(texts, is_media)
+    path = viterbi(em)
+    return [_OUT.get(STATES[j], STATES[j]) for j in path]
+
+
+def zones_rle(zone_labels: list[str]) -> list[dict]:
+    """Contiguous same-zone runs -> half-open ranges (C2 clusterer analog,
+    reference TaggingTokenClusteror via run-length encoding)."""
+    out: list[dict] = []
+    start = 0
+    for k in range(1, len(zone_labels) + 1):
+        if k == len(zone_labels) or zone_labels[k] != zone_labels[start]:
+            out.append({"zone": zone_labels[start], "start": start, "end": k,
+                        "order": len(out)})
+            start = k
+    return out

@@ -1,0 +1,112 @@
+"""Distributed extraction pipeline: input span table -> extraction table.
+
+Spark-first design notes (SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+* the whole cascade is ONE ``mapInPandas`` stage — the workload is
+  embarrassingly parallel per ``doc_id`` (the reference has no cross-document
+  computation, SURVEY.md §2.6), so the only node boundaries are the ingest
+  repartition and the final write;
+* **skew**: documents are size-bucketed (``size(spans)``) and giant docs are
+  spread round-robin across partitions before the UDF so a partition never
+  holds two 50k-span docs while others idle (the salted-repartition analog of
+  the reference's oversize guards, MedicalReportSegmenterParser.java:136-139);
+* **poison pills**: docs above ``max_spans`` are quarantined via ``status``
+  (P3) instead of stalling a partition; per-row try/except inside the kernel
+  isolates failures (S3);
+* **metrics**: ``df.observe`` emits row/error counts for the lineage table
+  (A3, the CntManager analog) without a second pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..operators.assemble import extract_doc
+
+EXTRACT_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>, "
+    "zones array<struct<zone:string,start:int,end:int,order:int>>, "
+    "header struct<docnum:string,doctype:string,title:string,date_iso:string,"
+    "time:string,dateline:string,affiliation:string,address:string,org:string,"
+    "email:string,phone:string,fax:string,web:string,note:string,"
+    "medics:array<string>,patients:array<string>>, "
+    "leftnote struct<idno:string,org:string,address:string,country:string,"
+    "settlement:string,phone:string,fax:string,email:string,web:string,"
+    "medics:array<string>,note:string>, "
+    "medics array<struct<idx:int,idno:string,role:string,persname:string,"
+    "affiliation:string,organisation:string,institution:string,address:string,"
+    "country:string,town:string,email:string,phone:string,fax:string,"
+    "web:string,note:string>>, "
+    "patients array<struct<idx:int,id:string,idtype:string,persname:string,"
+    "sex:string,birthdate:string,age:string,birthplace:string,deathdate:string,"
+    "address:string,country:string,town:string,phone:string,email:string,"
+    "note:string>>, "
+    "datelines array<struct<idx:int,doctype:string,placename:string,"
+    "date:string,time:string,note:string>>, "
+    "person_names array<struct<idx:int,title:string,forename:string,"
+    "middlename:string,surname:string,suffix:string>>, "
+    "entities array<struct<type:string,text:string,start:int,end:int,"
+    "span_order:int>>, "
+    "n_spans int, n_pages int, status string"
+)
+
+#: spans-per-doc boundary between the normal and the skew-managed path
+GIANT_SPAN_THRESHOLD = 1500
+
+
+def _extract_batches(max_spans: int | None):
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [extract_doc(d, s, max_spans=max_spans)
+                    for d, s in zip(pdf["doc_id"], pdf["spans"])]
+            for r in rows:
+                r["n_pages"] = sum(1 for sp in r["spans"]
+                                   if sp["kind"] == "page")
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "spans", "zones", "header", "leftnote", "medics",
+                "patients", "datelines", "person_names", "entities",
+                "n_spans", "n_pages", "status"])
+
+    return fn
+
+
+def extract(df: DataFrame, max_spans: int | None = 200_000,
+            skew_manage: bool = True,
+            observation: Observation | None = None) -> DataFrame:
+    """Run the fused extraction cascade over ``(doc_id, spans)`` rows.
+
+    ``skew_manage=True`` splits the input on doc size and round-robin
+    repartitions the giant tail so AQE-coalesced partitions stay balanced.
+    """
+    if skew_manage:
+        sized = df.withColumn("_n", F.size("spans"))
+        small = sized.filter(F.col("_n") <= GIANT_SPAN_THRESHOLD).drop("_n")
+        giant = (sized.filter(F.col("_n") > GIANT_SPAN_THRESHOLD).drop("_n")
+                 .repartition(df.sparkSession.sparkContext.defaultParallelism))
+        df = small.unionByName(giant)
+
+    out = df.mapInPandas(_extract_batches(max_spans), schema=EXTRACT_SCHEMA)
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("not_ok"),
+            F.sum(F.size("spans")).alias("spans_out"),
+        )
+    return out
+
+
+def result_spans(extracted: DataFrame) -> DataFrame:
+    """Flatten to the north-rule contract table
+    ``(doc_id, order, kind, text, media_ref)`` — one row per output span."""
+    return (extracted
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.order").alias("order"),
+                    F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))

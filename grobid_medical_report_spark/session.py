@@ -1,0 +1,39 @@
+"""SparkSession factory with engine-wide tuning.
+
+Scale posture (SURVEY.md §4): AQE on (runtime re-plan + partition coalescing
++ skew rebalancing), Arrow exchange on with a bounded batch size so a giant
+document (one wide row) cannot blow a Python worker's memory, shuffle
+partitions sized to the core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "grobid_medical_report_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or max(cpus, 8)
+    return (
+        SparkSession.builder
+        .master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batches: a batch of giant docs must fit worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .getOrCreate()
+    )

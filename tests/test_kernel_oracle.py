@@ -1,0 +1,45 @@
+"""Golden-oracle parity of the pure-Python extraction kernel.
+
+The per-row invariant (north rule / BASELINE.json): span-sequence equality
+``(kind, text, media_ref, order)`` per doc_id, plus every stage-level fixture
+table (zones / header / left-note / sub-entities / NER entities), across all
+size buckets.
+"""
+
+import pytest
+
+from grobid_medical_report_spark.corpus import generate_doc
+from grobid_medical_report_spark.operators.assemble import extract_doc
+
+N_DOCS = 300
+FIELDS = ["zones", "header", "leftnote", "medics", "patients",
+          "datelines", "person_names", "entities"]
+
+
+@pytest.mark.parametrize("chunk", range(0, N_DOCS, 50))
+def test_full_parity(chunk):
+    for i in range(chunk, chunk + 50):
+        d = generate_doc(i)
+        r = extract_doc(d["doc_id"], d["spans"])
+        assert r["status"] == "ok"
+        assert r["spans"] == d["expected_spans"], f"doc {i} span sequence"
+        for f in FIELDS:
+            assert r[f] == d[f], f"doc {i} field {f}"
+
+
+def test_oversize_quarantine():
+    d = generate_doc(0)
+    r = extract_doc(d["doc_id"], d["spans"], max_spans=5)
+    assert r["status"] == "oversize"
+    assert r["spans"] == []
+
+
+def test_empty_doc():
+    r = extract_doc("doc_x", [])
+    assert r["status"] == "empty"
+
+
+def test_failure_isolation():
+    # malformed span dicts must not raise (S3 per-row isolation)
+    r = extract_doc("doc_y", [{"kind": "text"}])
+    assert r["status"].startswith("error:")
