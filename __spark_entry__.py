@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline; ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal). Oracle-less ``x_*`` entries are the extraction-engine paths whose
+correctness gate is the pytest golden-oracle suite (tests/), since their input
+is the synthetic interleaved-span corpus rather than the pre-registered views.
 """
 
 from __future__ import annotations
@@ -12,27 +13,79 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from grobid_medical_report_spark.corpus import corpus_df
+from grobid_medical_report_spark.operators import (dedup, events, multimodal,
+                                                   relational, similarity,
+                                                   textstats)
+from grobid_medical_report_spark.plans.pipeline import extract, result_spans
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus size follows the documents table so extraction scales with sf."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction cascade over the interleaved span corpus
+    sized like sf0.001, returning the north-rule span table."""
+    sf_dir = "/root/testdata/sf0.001"
+    return result_spans(extract(corpus_df(spark, _n_docs(spark, sf_dir))))
+
+
+# ---- extraction-engine queries (rows-only: input is the synthetic corpus) --
+
+def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return result_spans(extract(corpus_df(spark, _n_docs(spark, sf_dir))))
+
+
+def x_extract_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return ext.select("doc_id", "header.docnum", "header.doctype",
+                      "header.date_iso", "header.time", "header.dateline",
+                      F.array_join("header.medics", "; ").alias("medics"),
+                      F.array_join("header.patients", "; ").alias("patients"))
+
+
+def x_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return (ext.select("doc_id", F.explode("entities").alias("e"))
+               .select("doc_id", F.col("e.type").alias("etype"),
+                       F.col("e.text").alias("text"),
+                       F.col("e.start").alias("start_char"),
+                       F.col("e.end").alias("end_char"),
+                       F.col("e.span_order").alias("span_order")))
+
+
+def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return (ext.select("doc_id", F.explode("zones").alias("z"))
+               .select("doc_id", F.col("z.zone").alias("zone"),
+                       F.col("z.start").alias("start_span"),
+                       F.col("z.end").alias("end_span"),
+                       F.col("z.order").alias("zone_order")))
+
+
+_MODULES = (relational, events, textstats, dedup, similarity, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
+    out.update({
+        "x_extract_spans": x_extract_spans,
+        "x_extract_header": x_extract_header,
+        "x_extract_entities": x_extract_entities,
+        "x_extract_zones": x_extract_zones,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

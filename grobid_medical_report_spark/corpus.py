@@ -424,7 +424,10 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
     """
     import pandas as pd
 
-    parts = partitions or spark.sparkContext.defaultParallelism
+    # oversplit vs cores: the generated corpus is partitioned by doc COUNT
+    # (unlike a parquet scan, which is byte-bounded), so smaller tasks
+    # amortize the giant-doc tail across the schedule
+    parts = partitions or spark.sparkContext.defaultParallelism * 3
     rng_df = spark.range(0, n_docs, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

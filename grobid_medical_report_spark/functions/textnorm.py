@@ -22,6 +22,9 @@ _HYPHEN_JOIN_RE = re.compile(r"(\w)-[ ]+(?=[a-zàâäéèêëîïôöùûüç])"
 
 
 def normalize_space(s: str) -> str:
+    # fast path: already single-spaced (the overwhelmingly common case)
+    if "  " not in s and "\n" not in s and "\t" not in s:
+        return s.strip()
     return _WS_RE.sub(" ", s).strip()
 
 

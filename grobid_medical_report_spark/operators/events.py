@@ -1,0 +1,146 @@
+"""Sequence/window operators over the events stream table.
+
+These are the relational twins of the reference's sequence machinery
+(SURVEY.md §2.7): gap-based sessionization is exactly the
+``TaggingTokenClusteror`` cluster operator (C2/W7 — lag + change-flag +
+running sum), the running window is W1/W6's cumulative scan, and the pivot is
+the A1 label->field accumulation. Expressing them over ``events`` proves the
+primitives at shuffle scale (partitionBy user_id), where the extraction
+pipeline runs them doc-locally inside the Arrow kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SESSION_GAP_MIN = 30
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), per-user session stats."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second timestamps on both sides (duckdb epoch() is fractional;
+    # unix_timestamp() truncates and would disagree at exact gap boundaries)
+    sess = (ev.withColumn("prev_ts", F.lag("ts").over(w))
+              .withColumn("new_sess",
+                          F.when(F.col("prev_ts").isNull(), 1)
+                           .when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                                 > SESSION_GAP_MIN * 60 * 1_000_000, 1)
+                           .otherwise(0))
+              .withColumn("session_id", F.sum("new_sess").over(
+                  w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("session_value"))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_sessions"),
+                     F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+                     F.round(F.max("session_value"), 2).alias("max_session_value")))
+
+
+def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user ordered by time (W6 analog)."""
+    ev = _ev(spark, sf_dir)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    return (ev.select("user_id", "event_id",
+                      F.round(F.sum("value").over(w), 2).alias("running_value")))
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type counts (A1 pivot analog)."""
+    ev = _ev(spark, sf_dir)
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ("click", "view", "signup", "error", "purchase")]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + scalar date functions (X5 analog at table scale),
+    including regex extraction from the JSON props column (F10 analog)."""
+    ev = _ev(spark, sf_dir)
+    return (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+              .withColumn("k", F.regexp_extract("props", "[0-9]+", 0).cast("int"))
+              .groupBy("day")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.avg("value"), 4).alias("avg_value"),
+                   F.round(F.avg("k"), 4).alias("avg_k"),
+                   F.countDistinct("user_id").alias("n_users")))
+
+
+def q_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-10 (O4 top-k with key tie-break)."""
+    ev = _ev(spark, sf_dir)
+    return (ev.groupBy("user_id")
+              .agg(F.round(F.sum("value"), 2).alias("total_value"))
+              .orderBy(F.desc("total_value"), F.asc("user_id"))
+              .limit(10))
+
+
+ORACLES: dict[str, str] = {
+    "q_sessionize_events": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        per_sess AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 round(sum(value), 2) AS session_value
+          FROM sess GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS n_sessions,
+               round(avg(n_events), 4) AS avg_session_events,
+               round(max(session_value), 2) AS max_session_value
+        FROM per_sess GROUP BY user_id
+    """,
+    "q_running_user_value": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events
+    """,
+    "q_event_type_pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+        FROM events GROUP BY user_id
+    """,
+    "q_event_daily_stats": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               round(avg(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)), 4) AS avg_k,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY day
+    """,
+    "q_topk_users_by_value": """
+        SELECT user_id, round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "q_sessionize_events": q_sessionize_events,
+    "q_running_user_value": q_running_user_value,
+    "q_event_type_pivot": q_event_type_pivot,
+    "q_event_daily_stats": q_event_daily_stats,
+    "q_topk_users_by_value": q_topk_users_by_value,
+}

@@ -155,7 +155,13 @@ def segment_doc(texts: list[str], is_media: np.ndarray) -> list[str]:
     if not texts:
         return []
     em = _emissions(texts, is_media)
-    path = viterbi(em)
+    # fast path: without an ANNEXE marker the transition matrix is inert
+    # (annex_i emission 0.9 never beats body 1.0; annex_b is -inf), so the
+    # Viterbi path is the per-line argmax — skip the O(L*K^2) DP
+    if em[:, _Z["annex_b"]].max() < 0:
+        path = np.argmax(em, axis=1)
+    else:
+        path = viterbi(em)
     return [_OUT.get(STATES[j], STATES[j]) for j in path]
 
 

@@ -1,0 +1,143 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the (small)
+  query set against the full embedding scan; dot products via higher-order
+  functions ``zip_with``/``aggregate`` in **double** precision (float32 math
+  would diverge from the DuckDB oracle);
+* k-NN label vote — majority label of the top-5 neighbors;
+* per-label norm stats — vectorized array math, no UDF.
+
+Determinism: similarities are rounded to 9 dp and ranking orders by
+(rounded sim desc, vec_id asc), so both engines rank identically even when
+two raw doubles differ only in the last ulp.
+
+Scale path: at 10^9+ vectors the brute-force scan becomes a per-query
+O(N) pass — the LSH-bucketed variant reuses dedup.py's band-join shape
+(hash embedding sign-patterns into buckets, verify exactly inside buckets);
+an IVF variant (k-means coarse quantizer as a broadcast dimension) is the
+next step and composes from the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+TOP_K = 10
+KNN_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id", "label",
+                    F.transform("embedding", lambda x: x.cast("double"))
+                    .alias("emb"))
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, label, sim) for all queries x corpus."""
+    e = _emb(spark, sf_dir)
+    q = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
+          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
+    dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+             .withColumn("sim", F.round(dot / (nrm(F.col("emb")) * nrm(F.col("qemb"))), 9))
+             .select("query_id", "vec_id", "label", "sim"))
+
+
+def q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (_scored_pairs(spark, sf_dir)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "sim", "rank"))
+
+
+def q_emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among top-5 neighbors (ties: higher count, then lower
+    label)."""
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top = (_scored_pairs(spark, sf_dir)
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= KNN_K))
+    counts = top.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (counts.withColumn("rn", F.row_number().over(w2))
+                  .filter(F.col("rn") == 1)
+                  .select("query_id", F.col("label").alias("predicted_label"),
+                          "votes"))
+
+
+def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    nrm = F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    return (e.withColumn("l2", nrm)
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.round(F.avg("l2"), 6).alias("avg_norm"),
+                  F.round(F.min("l2"), 6).alias("min_norm"),
+                  F.round(F.max("l2"), 6).alias("max_norm")))
+
+
+_PAIRS_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qemb)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qemb, q.qemb))), 9) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+"""
+
+ORACLES: dict[str, str] = {
+    "q_emb_topk_cosine": _PAIRS_SQL + f"""
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K}
+    """,
+    "q_emb_knn_label_vote": _PAIRS_SQL + f"""
+        , top AS (
+          SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= {KNN_K}),
+        counts AS (
+          SELECT query_id, label, count(*) AS votes
+          FROM top GROUP BY query_id, label)
+        SELECT query_id, label AS predicted_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, label ASC) AS rn
+          FROM counts)
+        WHERE rn = 1
+    """,
+    "q_emb_label_norms": """
+        SELECT label, count(*) AS n_vectors,
+               round(avg(l2), 6) AS avg_norm,
+               round(min(l2), 6) AS min_norm,
+               round(max(l2), 6) AS max_norm
+        FROM (SELECT label,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS l2
+              FROM embeddings)
+        GROUP BY label
+    """,
+}
+
+QUERIES = {
+    "q_emb_topk_cosine": q_emb_topk_cosine,
+    "q_emb_knn_label_vote": q_emb_knn_label_vote,
+    "q_emb_label_norms": q_emb_label_norms,
+}

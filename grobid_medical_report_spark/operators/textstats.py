@@ -1,0 +1,147 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+Large-scale corpus curation primitives: token counting, quality scoring,
+language identification and document fingerprinting — all pure JVM-side
+column expressions (no Python UDFs), so they stay inside whole-stage codegen
+and scale linearly with the scan. Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword gazetteers (broadcast-join scale)
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "una"),
+    "fr": ("le", "les", "une"),
+    "zh": ("de5", "le5", "shi4"),   # romanized placeholders
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-language aggregates (F1 analog at corpus
+    scale)."""
+    d = _docs(spark, sf_dir)
+    toks = d.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    return (toks.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+                     F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + mean word length + length gate
+    (the reference's P2/P3 sanitization mapped to corpus curation)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), " ")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of")))
+    scored = (d.withColumn("n_tokens", F.size(toks))
+               .withColumn("stop_ratio", F.round(stop / F.size(toks), 4))
+               .withColumn("mean_word_len",
+                           F.round((F.length(F.regexp_replace(F.trim("text"), " ", "")))
+                                   / F.size(toks), 4))
+               .withColumn("len_ok", (F.col("n_chars") >= 100).cast("int")))
+    return scored.select("doc_id", "n_tokens", "stop_ratio", "mean_word_len", "len_ok")
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits with a
+    fixed tie-break order (X7 analog — deterministic by construction)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), " ")
+    def hit_counter(words):
+        # closure (not default-arg lambda: a 2-arity lambda would receive the
+        # element index as its second argument)
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    hit_cols = [hit_counter(words).alias(f"hits_{lg}")
+                for lg, words in LANG_STOPWORDS.items()]
+    hits = d.select("doc_id", "lang", *hit_cols)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lg in LANG_STOPWORDS:  # fixed order = deterministic tie-break
+        c = F.col(f"hits_{lg}")
+        pred = F.when(c > best, F.lit(lg)).otherwise(pred)
+        best = F.when(c > best, c).otherwise(best)
+    return (hits.withColumn("predicted", pred)
+                .groupBy("lang", "predicted")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (X2 normalization +
+    hashing), plus duplicate-group size per fingerprint."""
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id",
+                  F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"),
+                                           F.min("doc_id").alias("keeper"))
+    return (fp.join(groups, "fingerprint")
+              .select("doc_id", "fingerprint", "group_size", "keeper"))
+
+
+ORACLES: dict[str, str] = {
+    "q_doc_token_stats": r"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+               round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_doc_quality": """
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               round(len(list_filter(string_split(trim(text), ' '),
+                     x -> x IN ('the', 'a', 'of')))
+                     * 1.0 / len(string_split(trim(text), ' ')), 4) AS stop_ratio,
+               round(length(replace(trim(text), ' ', ''))
+                     * 1.0 / len(string_split(trim(text), ' ')), 4) AS mean_word_len,
+               CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS len_ok
+        FROM documents
+    """,
+    "q_doc_langid": """
+        WITH hits AS (
+          SELECT lang,
+            len(list_filter(string_split(trim(text),' '), x -> x IN ('the','a','of'))) AS h_en,
+            len(list_filter(string_split(trim(text),' '), x -> x IN ('der','die','und'))) AS h_de,
+            len(list_filter(string_split(trim(text),' '), x -> x IN ('el','los','una'))) AS h_es,
+            len(list_filter(string_split(trim(text),' '), x -> x IN ('le','les','une'))) AS h_fr,
+            len(list_filter(string_split(trim(text),' '), x -> x IN ('de5','le5','shi4'))) AS h_zh
+          FROM documents),
+        pred AS (
+          SELECT lang, CASE
+            WHEN h_zh > greatest(h_en, h_de, h_es, h_fr, 0) THEN 'zh'
+            WHEN h_fr > greatest(h_en, h_de, h_es, 0) THEN 'fr'
+            WHEN h_es > greatest(h_en, h_de, 0) THEN 'es'
+            WHEN h_de > greatest(h_en, 0) THEN 'de'
+            WHEN h_en > 0 THEN 'en'
+            ELSE 'und' END AS predicted
+          FROM hits)
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM pred GROUP BY lang, predicted
+    """,
+    "q_doc_fingerprint": """
+        WITH fp AS (
+          SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents),
+        groups AS (
+          SELECT fingerprint, count(*) AS group_size, min(doc_id) AS keeper
+          FROM fp GROUP BY fingerprint)
+        SELECT doc_id, fp.fingerprint, group_size, keeper
+        FROM fp JOIN groups ON fp.fingerprint = groups.fingerprint
+    """,
+}
+
+QUERIES = {
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}

@@ -6,15 +6,23 @@ Spark-first design notes (SURVEY.md §3.1 "Spark lifecycle equivalent"):
   embarrassingly parallel per ``doc_id`` (the reference has no cross-document
   computation, SURVEY.md §2.6), so the only node boundaries are the ingest
   repartition and the final write;
-* **skew**: documents are size-bucketed (``size(spans)``) and giant docs are
-  spread round-robin across partitions before the UDF so a partition never
-  holds two 50k-span docs while others idle (the salted-repartition analog of
-  the reference's oversize guards, MedicalReportSegmenterParser.java:136-139);
+* **skew**: per-doc work scales with byte size, and parquet scan splits are
+  already *byte-bounded* (``spark.sql.files.maxPartitionBytes``), so a split
+  holding one giant doc carries about the same work as one holding thousands
+  of small docs — no shuffle needed in the hot path. (A measured earlier
+  design that split giants out and round-robin-repartitioned them was 2-3x
+  *slower*: it re-evaluated the source once per branch and paid a full
+  shuffle of the span payloads.) For pathological upstream partitioning
+  (e.g. inputs sorted by size), ``repartition_to`` applies ONE round-robin
+  repartition. Residual pathological docs are bounded by the Arrow batch cap
+  (session.py) and the ``max_spans`` quarantine;
 * **poison pills**: docs above ``max_spans`` are quarantined via ``status``
-  (P3) instead of stalling a partition; per-row try/except inside the kernel
+  (P3, the oversize-guard analog of MedicalReportSegmenterParser.java:136-139)
+  instead of stalling a partition; per-row try/except inside the kernel
   isolates failures (S3);
-* **metrics**: ``df.observe`` emits row/error counts for the lineage table
-  (A3, the CntManager analog) without a second pass.
+* **metrics**: ``df.observe`` emits row/error counts as telemetry (A3, the
+  CntManager analog); exactly-once lineage metrics come from the checkpoint
+  write path (plans/checkpoint.py), not observe.
 """
 
 from __future__ import annotations
@@ -54,8 +62,6 @@ EXTRACT_SCHEMA = (
     "n_spans int, n_pages int, status string"
 )
 
-#: spans-per-doc boundary between the normal and the skew-managed path
-GIANT_SPAN_THRESHOLD = 1500
 
 
 def _extract_batches(max_spans: int | None):
@@ -77,19 +83,17 @@ def _extract_batches(max_spans: int | None):
 
 
 def extract(df: DataFrame, max_spans: int | None = 200_000,
-            skew_manage: bool = True,
+            repartition_to: int | None = None,
             observation: Observation | None = None) -> DataFrame:
     """Run the fused extraction cascade over ``(doc_id, spans)`` rows.
 
-    ``skew_manage=True`` splits the input on doc size and round-robin
-    repartitions the giant tail so AQE-coalesced partitions stay balanced.
+    ``repartition_to`` applies one round-robin repartition before the UDF —
+    use only when the upstream partitioning is size-correlated (see module
+    docstring); the default no-shuffle path relies on byte-bounded scan
+    splits for balance.
     """
-    if skew_manage:
-        sized = df.withColumn("_n", F.size("spans"))
-        small = sized.filter(F.col("_n") <= GIANT_SPAN_THRESHOLD).drop("_n")
-        giant = (sized.filter(F.col("_n") > GIANT_SPAN_THRESHOLD).drop("_n")
-                 .repartition(df.sparkSession.sparkContext.defaultParallelism))
-        df = small.unionByName(giant)
+    if repartition_to:
+        df = df.repartition(repartition_to)
 
     out = df.mapInPandas(_extract_batches(max_spans), schema=EXTRACT_SCHEMA)
     if observation is not None:

@@ -28,12 +28,12 @@ def test_spark_span_sequence_equality(spark):
         assert ents == wents, f"entity mismatch for {r['doc_id']}"
 
 
-def test_skew_path_equivalence(spark):
+def test_repartitioned_path_equivalence(spark):
     df = corpus_df(spark, 30)
     a = {r["doc_id"]: [tuple(s) for s in r.spans]
-         for r in extract(df, skew_manage=True).collect()}
+         for r in extract(df, repartition_to=16).collect()}
     b = {r["doc_id"]: [tuple(s) for s in r.spans]
-         for r in extract(df, skew_manage=False).collect()}
+         for r in extract(df).collect()}
     assert a == b
 
 

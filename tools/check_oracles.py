@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from grobid_medical_report_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    spark = get_spark("check_oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time() - t0:.1f}s]")
+            if len(srows) == 0 and not name.startswith("x_maybe_empty"):
+                print(f"WARN  {name}: 0 rows")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [c for c in res.columns]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns spark={scols} duckdb={dcols}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        else:
+            a = norm_rows(scols, [tuple(r) for r in srows])
+            b = norm_rows(dcols, drows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+                ok = False
+        if ok:
+            print(f"ok    {name}: {len(srows)} rows match [{time.time() - t0:.1f}s]")
+        else:
+            failures += 1
+    spark.stop()
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
