@@ -17,9 +17,12 @@ from pyspark.sql import functions as F
 
 from grobid_medical_report_spark.corpus import corpus_df
 from grobid_medical_report_spark.operators import (dedup, events, multimodal,
-                                                   relational, similarity,
+                                                   relational, relational2,
+                                                   similarity, strings,
                                                    textstats)
-from grobid_medical_report_spark.plans.pipeline import extract, result_spans
+from grobid_medical_report_spark.plans.pipeline import (extract,
+                                                        render_tei_df,
+                                                        result_spans)
 
 
 def _n_docs(spark: SparkSession, sf_dir: str) -> int:
@@ -58,6 +61,20 @@ def x_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("e.span_order").alias("span_order")))
 
 
+def x_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return (ext.select("doc_id", F.explode("sentences").alias("s"))
+               .select("doc_id", F.col("s.span_order").alias("span_order"),
+                       F.col("s.idx").alias("sent_idx"),
+                       F.col("s.start").alias("start_char"),
+                       F.col("s.end").alias("end_char")))
+
+
+def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return render_tei_df(ext)
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -67,7 +84,8 @@ def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("z.order").alias("zone_order")))
 
 
-_MODULES = (relational, events, textstats, dedup, similarity, multimodal)
+_MODULES = (relational, relational2, events, textstats, dedup, similarity,
+            strings, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -80,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_header": x_extract_header,
         "x_extract_entities": x_extract_entities,
         "x_extract_zones": x_extract_zones,
+        "x_extract_sentences": x_extract_sentences,
+        "x_extract_tei": x_extract_tei,
     })
     return out
 

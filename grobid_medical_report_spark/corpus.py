@@ -190,6 +190,7 @@ def generate_doc(i: int) -> dict[str, Any]:
     lines: list[tuple[str, str, str, int]] = []
     para_texts: list[str] = []                      # per generated paragraph
     para_entities: list[list[dict[str, Any]]] = []  # offsets into para text
+    para_sentences: list[list[tuple[int, int]]] = []  # sentence char ranges
     media_count = 0
 
     def emit(label: str, text: str, ref: str = "", pseq: int = -1) -> None:
@@ -293,13 +294,17 @@ def generate_doc(i: int) -> dict[str, Any]:
             elif roll < 0.20 and page == n_pages:
                 emit("section", f"{rng.choice(lex.SECTIONS)} :")
             p = _Para()
+            sent_spans: list[tuple[int, int]] = []
             for _ in range(rng.randrange(1, 4)):
                 if p.text:
                     p.lit(" ")
+                s0 = len(p.text)
                 _sentence(rng, p)
+                sent_spans.append((s0, len(p.text)))
             pseq = len(para_texts)
             para_texts.append(p.text)
             para_entities.append(p.entities)
+            para_sentences.append(sent_spans)
             for text_line in _split_lines(rng, p.text):
                 emit("paragraph", text_line, pseq=pseq)
             extra = rng.random()
@@ -343,6 +348,7 @@ def generate_doc(i: int) -> dict[str, Any]:
     # ---- expected outputs (golden oracle) ----------------------------------
     expected_spans: list[dict[str, Any]] = []
     expected_entities: list[dict[str, Any]] = []
+    expected_sentences: list[dict[str, Any]] = []
     zones: list[dict[str, Any]] = []
     j = 0
     while j < len(lines):
@@ -370,12 +376,18 @@ def generate_doc(i: int) -> dict[str, Any]:
                 # adjacent generated paragraphs fuse into one cluster; entity
                 # offsets shift by the preceding paragraphs' lengths + joiner
                 base = 0
+                sent_idx = 0
                 for ps in pseqs:
                     for e in para_entities[ps]:
                         expected_entities.append(
                             {"type": e["type"], "text": e["text"],
                              "start": e["start"] + base, "end": e["end"] + base,
                              "span_order": len(expected_spans)})
+                    for s0, s1 in para_sentences[ps]:
+                        expected_sentences.append(
+                            {"span_order": len(expected_spans), "idx": sent_idx,
+                             "start": s0 + base, "end": s1 + base})
+                        sent_idx += 1
                     base += len(para_texts[ps]) + 1
             expected_spans.append({"kind": label, "text": merged, "media_ref": ""})
             j = k
@@ -401,7 +413,7 @@ def generate_doc(i: int) -> dict[str, Any]:
         "header": header, "leftnote": leftnote,
         "medics": medics_fix, "patients": patients_fix,
         "datelines": datelines_fix, "person_names": person_names,
-        "entities": expected_entities,
+        "entities": expected_entities, "sentences": expected_sentences,
     }
 
 

@@ -1,0 +1,128 @@
+"""TEI-XML rendering of extraction results (SURVEY.md §2.11 T1-T7).
+
+A pure function of the extracted struct columns — the ordered span array IS
+the document (north-rule contract); the XML string is its deterministic
+serialization, mirroring the reference's TEIFormatter:
+
+* header  -> <teiHeader><fileDesc>... (TEIFormatter.toTEIHeader:115-300)
+* leftnote-> <listOrg> publisher block (toTEILeftNote:301-392)
+* body    -> <div>/<head>/<p>/<item>/<medic>/<figure>/<table> elements from
+             the span kinds (toTEIBody:595-619 -> toTEITextPiece:766-1024)
+* annex/acknowledgement tails (toTEIAcknowledgement:718-746, toTEIAnnex:747)
+
+Element shapes follow the reference's expected-output fixtures
+(resources/test/processFullMedicalText.xml / processHeaderFromPDF.xml).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+from xml.sax.saxutils import escape
+
+
+def _tag(name: str, content: str, **attrs: str) -> str:
+    a = "".join(f' {k}="{escape(v)}"' for k, v in attrs.items() if v)
+    return f"<{name}{a}>{content}</{name}>"
+
+
+def render_tei_header(header: dict[str, Any], leftnote: dict[str, Any] | None,
+                      patients: list[dict[str, Any]] | None = None) -> str:
+    """<teiHeader> block (fixture shape: titleStmt / publicationStmt /
+    sourceDesc with medics + patients lists)."""
+    parts: list[str] = []
+    if header.get("title"):
+        parts.append(_tag("title", escape(header["title"]), type="main"))
+    if header.get("date_iso"):
+        parts.append(_tag("date", escape(header["date_iso"]),
+                          type="issued", when=header["date_iso"]))
+    pub: list[str] = []
+    if leftnote:
+        if leftnote.get("org"):
+            pub.append(_tag("affiliation", escape(leftnote["org"])))
+        if leftnote.get("address"):
+            pub.append(_tag("address",
+                            _tag("addrLine", escape(leftnote["address"]))))
+    if pub:
+        parts.append(_tag("publisher", "".join(pub)))
+    src: list[str] = []
+    medics = header.get("medics")
+    if medics is not None and len(medics) > 0:  # Arrow hands numpy arrays
+        medic = _tag("medic",
+                     _tag("persName", escape("; ".join(list(medics)))))
+        src.append(_tag("listPerson", medic, type="medics"))
+    pts: list[str] = []
+    for p in patients or []:
+        fields = []
+        if p.get("idtype"):
+            fields.append(_tag("idType", escape(p["idtype"])))
+        if p.get("id"):
+            fields.append(_tag("idno", escape(p["id"])))
+        if p.get("persname"):
+            fields.append(_tag("persName", escape(p["persname"])))
+        if p.get("birthdate"):
+            fields.append(_tag("birth", escape(p["birthdate"]),
+                               when=p["birthdate"]))
+        if p.get("age"):
+            fields.append(_tag("age", escape(p["age"])))
+        if p.get("address"):
+            fields.append(_tag("address", escape(p["address"])))
+        pts.append(_tag("patient", "".join(fields)))
+    if pts:
+        src.append(_tag("listPerson", "".join(pts), type="patients"))
+    if src:
+        parts.append(_tag("sourceDesc", "".join(src)))
+    return _tag("teiHeader", _tag("fileDesc", "".join(parts)), **{"xml:lang": "fr"})
+
+
+_BODY_OPEN = {"section": ("head", {"level": "1"}),
+              "subsection": ("head", {"level": "2"}),
+              "paragraph": ("p", {}), "item": ("item", {}),
+              "medic": ("medic", {}), "patient": ("patient", {})}
+
+
+def render_tei_body(spans: list[dict[str, Any]]) -> str:
+    """<body> from the ordered span sequence: sections open <div>s; figures
+    and tables carry their media_ref as facsimile pointers."""
+    out: list[str] = []
+    open_div = False
+    for s in spans:
+        kind, text = s["kind"], s.get("text", "")
+        if kind in ("headnote", "footnote", "page"):
+            continue  # marginalia are not body content (segmenter fixtures)
+        if kind in ("header", "leftnote"):
+            continue  # rendered in the teiHeader
+        if kind == "section":
+            if open_div:
+                out.append("</div>")
+            out.append("<div>" + _tag("head", escape(text), level="1"))
+            open_div = True
+            continue
+        if kind in ("figure", "table"):
+            inner = _tag("figDesc", escape(text)) + \
+                (f'<graphic url="{escape(s.get("media_ref", ""))}"/>'
+                 if s.get("media_ref") else "")
+            out.append(_tag("figure", inner,
+                            **({"type": "table"} if kind == "table" else {})))
+            continue
+        if kind == "acknowledgement":
+            out.append(_tag("div", _tag("p", escape(text)),
+                            type="acknowledgement"))
+            continue
+        if kind == "annex":
+            out.append(_tag("div", _tag("p", escape(text)), type="annex"))
+            continue
+        tag, attrs = _BODY_OPEN.get(kind, ("p", {}))
+        out.append(_tag(tag, escape(text), **attrs))
+    if open_div:
+        out.append("</div>")
+    return _tag("body", "".join(out))
+
+
+def render_tei(doc: dict[str, Any]) -> str:
+    """Full TEI document string for one extracted doc."""
+    hdr = render_tei_header(doc.get("header") or {}, doc.get("leftnote"),
+                            doc.get("patients"))
+    body = render_tei_body(doc.get("spans") or [])
+    return ('<?xml version="1.0" encoding="UTF-8"?>'
+            '<TEI xml:space="preserve" xmlns="http://www.tei-c.org/ns/1.0">'
+            + hdr + _tag("text", body) + "</TEI>")

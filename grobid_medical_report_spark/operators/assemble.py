@@ -25,6 +25,7 @@ from typing import Any
 
 import numpy as np
 
+from ..functions.sentences import split_sentences
 from ..functions.textnorm import dehyphenize_join, normalize_space
 from .body import label_body_line
 from .header import parse_header_zone
@@ -45,8 +46,8 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
     base = {
         "doc_id": doc_id, "spans": [], "zones": [], "header": None,
         "leftnote": None, "medics": [], "patients": [], "datelines": [],
-        "person_names": [], "entities": [], "n_spans": len(spans),
-        "status": "ok",
+        "person_names": [], "entities": [], "sentences": [],
+        "n_spans": len(spans), "status": "ok",
     }
     try:
         if not spans:
@@ -84,9 +85,11 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
         base["leftnote"] = parse_leftnote_zone(
             [texts[i] for i, z in enumerate(zone_labels) if z == "leftnote"])
 
-        # stage 4: span-sequence assembly + NER over paragraph clusters
+        # stage 4: span-sequence assembly + NER + sentence segmentation over
+        # paragraph clusters
         out_spans: list[dict[str, Any]] = []
         entities: list[dict[str, Any]] = []
+        sentences: list[dict[str, Any]] = []
         n = len(texts)
         j = 0
         while j < n:
@@ -111,6 +114,9 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
                 if lab == "paragraph":
                     for e in extract_entities(merged):
                         entities.append({**e, "span_order": len(out_spans)})
+                    for idx, (s0, s1) in enumerate(split_sentences(merged)):
+                        sentences.append({"span_order": len(out_spans),
+                                          "idx": idx, "start": s0, "end": s1})
                 out_spans.append({"kind": lab, "text": merged, "media_ref": ""})
                 j = k
                 continue
@@ -120,6 +126,7 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
             sp["order"] = order
         base["spans"] = out_spans
         base["entities"] = entities
+        base["sentences"] = sentences
         return base
     except Exception as exc:  # per-row isolation: never poison the partition
         base["status"] = f"error: {type(exc).__name__}: {exc}"

@@ -59,6 +59,7 @@ EXTRACT_SCHEMA = (
     "middlename:string,surname:string,suffix:string>>, "
     "entities array<struct<type:string,text:string,start:int,end:int,"
     "span_order:int>>, "
+    "sentences array<struct<span_order:int,idx:int,start:int,end:int>>, "
     "n_spans int, n_pages int, status string"
 )
 
@@ -77,7 +78,7 @@ def _extract_batches(max_spans: int | None):
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "spans", "zones", "header", "leftnote", "medics",
                 "patients", "datelines", "person_names", "entities",
-                "n_spans", "n_pages", "status"])
+                "sentences", "n_spans", "n_pages", "status"])
 
     return fn
 
@@ -104,6 +105,27 @@ def extract(df: DataFrame, max_spans: int | None = 200_000,
             F.sum(F.size("spans")).alias("spans_out"),
         )
     return out
+
+
+def render_tei_df(extracted: DataFrame) -> DataFrame:
+    """TEI/XML sink (S5 analog): one XML string per doc, rendered by a
+    vectorized stage over the extraction output — the file-per-doc writer of
+    the reference (ProcessEngineMedical:247-255) becomes a column + sink."""
+    from ..functions.tei import render_tei
+
+    def rt(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tei": [render_tei({"header": h, "leftnote": ln,
+                                    "patients": list(pt), "spans": list(sp)})
+                        for h, ln, pt, sp in zip(pdf["header"], pdf["leftnote"],
+                                                 pdf["patients"], pdf["spans"])],
+            })
+
+    return extracted.mapInPandas(rt, schema="doc_id string, tei string")
 
 
 def result_spans(extracted: DataFrame) -> DataFrame:

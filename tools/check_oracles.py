@@ -32,7 +32,10 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    # rollup/cube rows contain None grouping keys — sort by stringified key
+    return sorted(normed,
+                  key=lambda t: tuple("\x00" if v is None else str(v) for v in t))
 
 
 def main() -> int:
