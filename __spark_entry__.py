@@ -75,6 +75,11 @@ def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tei_df(ext)
 
 
+def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grobid_medical_report_spark.operators.training import training_data
+    return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -100,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_zones": x_extract_zones,
         "x_extract_sentences": x_extract_sentences,
         "x_extract_tei": x_extract_tei,
+        "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
+        "x_training_data": x_training_data,
     })
     return out
 

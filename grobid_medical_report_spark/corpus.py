@@ -414,6 +414,7 @@ def generate_doc(i: int) -> dict[str, Any]:
         "medics": medics_fix, "patients": patients_fix,
         "datelines": datelines_fix, "person_names": person_names,
         "entities": expected_entities, "sentences": expected_sentences,
+        "line_labels": [lab for lab, _, _, _ in lines],
     }
 
 

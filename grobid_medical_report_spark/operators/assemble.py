@@ -38,7 +38,8 @@ MERGE_KINDS = {"header", "leftnote", "paragraph", "acknowledgement", "annex"}
 
 
 def extract_doc(doc_id: str, spans: list[dict[str, Any]],
-                max_spans: int | None = None) -> dict[str, Any]:
+                max_spans: int | None = None,
+                first_chunk: bool = True) -> dict[str, Any]:
     """Full extraction for one document. Never raises: failures and oversize
     docs are routed to ``status`` (per-row failure isolation, SURVEY.md S3;
     oversize guard P3 analog of getPdfTokensMax)."""
@@ -63,7 +64,7 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
         is_media = np.array([s["kind"] == "media" for s in spans], dtype=bool)
 
         # stage 1: segmentation (coarse zones per line)
-        zone_labels = segment_doc(texts, is_media)
+        zone_labels = segment_doc(texts, is_media, first_chunk)
         base["zones"] = _rle(zone_labels)
 
         # stage 2: body model -> fine label per line

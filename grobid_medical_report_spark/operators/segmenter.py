@@ -78,7 +78,8 @@ _TRANS[_Z["annex_b"], _Z["annex_i"]] = 0.2
 _TRANS[_Z["annex_i"], _Z["annex_i"]] = 0.2
 
 
-def _emissions(texts: list[str], is_media: np.ndarray) -> np.ndarray:
+def _emissions(texts: list[str], is_media: np.ndarray,
+               first_chunk: bool = True) -> np.ndarray:
     """Lines x zones emission score matrix (the featurize+score half of C1)."""
     n = len(texts)
     em = np.zeros((n, len(STATES)), dtype=np.float64)
@@ -123,7 +124,7 @@ def _emissions(texts: list[str], is_media: np.ndarray) -> np.ndarray:
         if RE_ANNEX_START.match(t):
             em[i, _Z["annex_b"]] = 10.0
             continue
-        if page_idx[i] == 0 and i < first_section:
+        if first_chunk and page_idx[i] == 0 and i < first_section:
             if any(rx.fullmatch(t) for rx in _LEFTNOTE_RES):
                 em[i, _Z["leftnote"]] = 8.0
             elif any(rx.fullmatch(t) for rx in _HEADER_RES) or RE_DOCTYPE.fullmatch(t):
@@ -150,11 +151,14 @@ def viterbi(em: np.ndarray, trans: np.ndarray = _TRANS) -> np.ndarray:
     return path
 
 
-def segment_doc(texts: list[str], is_media: np.ndarray) -> list[str]:
-    """Coarse zone label per input line."""
+def segment_doc(texts: list[str], is_media: np.ndarray,
+                first_chunk: bool = True) -> list[str]:
+    """Coarse zone label per input line. ``first_chunk=False`` disables the
+    front-matter gate for page-chunked giant-doc processing (header/left-note
+    live on page 1, i.e. in chunk 0 only — the P1 page-scope analog)."""
     if not texts:
         return []
-    em = _emissions(texts, is_media)
+    em = _emissions(texts, is_media, first_chunk)
     # fast path: without an ANNEXE marker the transition matrix is inert
     # (annex_i emission 0.9 never beats body 1.0; annex_b is -inf), so the
     # Viterbi path is the per-line argmax — skip the O(L*K^2) DP

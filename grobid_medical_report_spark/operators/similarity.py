@@ -85,6 +85,56 @@ def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.max("l2"), 6).alias("max_norm")))
 
 
+def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
+                  n_tables: int = 12, n_bits: int = 4) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH.
+
+    Scale path for the brute-force scan: seeded hyperplanes (driver-side
+    numpy, broadcast as literal arrays) hash every vector into
+    ``n_tables`` buckets of ``n_bits`` sign bits; candidates are bucket
+    collisions in ANY table; exact cosine re-ranks candidates only. The
+    per-query cost drops from O(N) to O(N / 2^bits * tables); recall is
+    tunable via (bits, tables) and measured in tests/test_similarity_ann.py.
+    Approximate by design => rows-only (no SQL oracle can reproduce it)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((n_tables, n_bits, 64)).round(6)
+
+    e = _emb(spark, sf_dir)
+
+    def bucket_col(t: int):
+        bits = []
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(F.zip_with("emb", plane, lambda a, p: a * p),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(dot >= 0, 1 << b).otherwise(0))
+        return sum(bits).cast("int")
+
+    hashed = e.select(
+        "vec_id", "label", "emb",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), bucket_col(t).alias("bucket"))
+            for t in range(n_tables)])).alias("tb"))
+    q = (hashed.filter(F.col("vec_id").isin(*QUERY_IDS))
+         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                 F.col("tb").alias("qtb")))
+    cand = (hashed.join(q, (F.col("tb") == F.col("qtb"))
+                        & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "vec_id", "emb", "qemb").distinct())
+    dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.withColumn("sim", F.round(dot / (nrm(F.col("emb"))
+                                                  * nrm(F.col("qemb"))), 9))
+                .select("query_id", "vec_id", "sim")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K))
+
+
 _PAIRS_SQL = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qemb

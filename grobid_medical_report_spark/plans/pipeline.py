@@ -70,8 +70,10 @@ def _extract_batches(max_spans: int | None):
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = [extract_doc(d, s, max_spans=max_spans)
-                    for d, s in zip(pdf["doc_id"], pdf["spans"])]
+            firsts = (pdf["first_chunk"] if "first_chunk" in pdf.columns
+                      else [True] * len(pdf))
+            rows = [extract_doc(d, s, max_spans=max_spans, first_chunk=bool(fc))
+                    for d, s, fc in zip(pdf["doc_id"], pdf["spans"], firsts)]
             for r in rows:
                 r["n_pages"] = sum(1 for sp in r["spans"]
                                    if sp["kind"] == "page")
