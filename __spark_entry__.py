@@ -70,6 +70,14 @@ def x_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("s.end").alias("end_char")))
 
 
+def x_extract_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    return (ext.select("doc_id", F.explode("markers").alias("m"))
+               .select("doc_id", F.col("m.span_order").alias("span_order"),
+                       F.col("m.marker_kind").alias("marker_kind"),
+                       F.col("m.target").alias("target")))
+
+
 def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
     return render_tei_df(ext)
@@ -105,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_zones": x_extract_zones,
         "x_extract_sentences": x_extract_sentences,
         "x_extract_tei": x_extract_tei,
+        "x_extract_markers": x_extract_markers,
         "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
         "x_training_data": x_training_data,
     })

@@ -191,6 +191,8 @@ def generate_doc(i: int) -> dict[str, Any]:
     para_texts: list[str] = []                      # per generated paragraph
     para_entities: list[list[dict[str, Any]]] = []  # offsets into para text
     para_sentences: list[list[tuple[int, int]]] = []  # sentence char ranges
+    para_markers: list[list[dict[str, Any]]] = []   # figure/table callouts
+    media_kinds: list[str] = []                     # kind per media index (1-based)
     media_count = 0
 
     def emit(label: str, text: str, ref: str = "", pseq: int = -1) -> None:
@@ -301,10 +303,25 @@ def generate_doc(i: int) -> dict[str, Any]:
                 s0 = len(p.text)
                 _sentence(rng, p)
                 sent_spans.append((s0, len(p.text)))
+            markers: list[dict[str, Any]] = []
+            if media_count >= 1 and rng.random() < 0.3:
+                # figure/table callout marker (reference J4/T7: markers
+                # resolved against figure/table objects)
+                k = rng.randrange(1, media_count + 1)
+                # lowercase callout: "cf. Figure" would read as a sentence
+                # boundary (period + uppercase) to any segmenter
+                word = "figure" if media_kinds[k - 1] == "figure" else "tableau"
+                m0 = len(p.text) + 1
+                p.lit(f" (cf. {word} {k})")
+                markers.append({"start": m0, "end": len(p.text),
+                                "marker_kind": media_kinds[k - 1],
+                                "target": f"img_{doc_id}_{k}"})
+                sent_spans[-1] = (sent_spans[-1][0], len(p.text))
             pseq = len(para_texts)
             para_texts.append(p.text)
             para_entities.append(p.entities)
             para_sentences.append(sent_spans)
+            para_markers.append(markers)
             for text_line in _split_lines(rng, p.text):
                 emit("paragraph", text_line, pseq=pseq)
             extra = rng.random()
@@ -316,6 +333,7 @@ def generate_doc(i: int) -> dict[str, Any]:
                 media_count += 1
                 ref = f"img_{doc_id}_{media_count}"
                 kind = rng.choice(["figure", "table"])
+                media_kinds.append(kind)
                 emit(f"media_{kind}", "", ref)
                 word = "Figure" if kind == "figure" else "Tableau"
                 cap = rng.choice(["coupe échographique", "bilan biologique",
@@ -349,6 +367,7 @@ def generate_doc(i: int) -> dict[str, Any]:
     expected_spans: list[dict[str, Any]] = []
     expected_entities: list[dict[str, Any]] = []
     expected_sentences: list[dict[str, Any]] = []
+    expected_markers: list[dict[str, Any]] = []
     zones: list[dict[str, Any]] = []
     j = 0
     while j < len(lines):
@@ -388,6 +407,12 @@ def generate_doc(i: int) -> dict[str, Any]:
                             {"span_order": len(expected_spans), "idx": sent_idx,
                              "start": s0 + base, "end": s1 + base})
                         sent_idx += 1
+                    for mk in para_markers[ps]:
+                        expected_markers.append(
+                            {"span_order": len(expected_spans),
+                             "start": mk["start"] + base, "end": mk["end"] + base,
+                             "marker_kind": mk["marker_kind"],
+                             "target": mk["target"]})
                     base += len(para_texts[ps]) + 1
             expected_spans.append({"kind": label, "text": merged, "media_ref": ""})
             j = k
@@ -414,6 +439,7 @@ def generate_doc(i: int) -> dict[str, Any]:
         "medics": medics_fix, "patients": patients_fix,
         "datelines": datelines_fix, "person_names": person_names,
         "entities": expected_entities, "sentences": expected_sentences,
+        "markers": expected_markers,
         "line_labels": [lab for lab, _, _, _ in lines],
     }
 

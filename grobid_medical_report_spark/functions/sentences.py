@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import re
 
-_BOUNDARY = re.compile(r"(?<=\.)\s+(?=[A-ZÀ-ÖØ-Þ0-9ÉÈÊ])")
+# a sentence ends with '.' or with a trailing parenthetical callout ')'
+_BOUNDARY = re.compile(r"(?<=[.)])\s+(?=[A-ZÀ-ÖØ-Þ0-9ÉÈÊ])")
 
 
 def split_sentences(text: str) -> list[tuple[int, int]]:

@@ -21,6 +21,7 @@ LayoutTokensUtil.normalizeDehyphenizeText) follows SURVEY.md C2.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import numpy as np
@@ -36,6 +37,11 @@ from .segmenter import segment_doc
 #: output kinds whose contiguous runs merge into one span (corpus.MERGE_KINDS)
 MERGE_KINDS = {"header", "leftnote", "paragraph", "acknowledgement", "annex"}
 
+#: figure/table callout marker inside body prose (J4/T7 analog: reference
+#: markReferencesFigureTEI/TableTEI, TEIFormatter.java:1295-1404)
+RE_MARKER = re.compile(r"\(cf\. (figure|tableau) (\d+)\)")
+RE_CAPTION_NUM = re.compile(r"^(?:Figure|Tableau) (\d+) ?:")
+
 
 def extract_doc(doc_id: str, spans: list[dict[str, Any]],
                 max_spans: int | None = None,
@@ -47,7 +53,7 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
     base = {
         "doc_id": doc_id, "spans": [], "zones": [], "header": None,
         "leftnote": None, "medics": [], "patients": [], "datelines": [],
-        "person_names": [], "entities": [], "sentences": [],
+        "person_names": [], "entities": [], "sentences": [], "markers": [],
         "n_spans": len(spans), "status": "ok",
     }
     try:
@@ -125,6 +131,27 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
             j += 1
         for order, sp in enumerate(out_spans):
             sp["order"] = order
+        # stage 5: marker resolution — callouts in prose resolved against the
+        # figure/table objects by caption number (J4 id match; the doc-local
+        # "join" of markers to media assets)
+        num_to = {}
+        for sp in out_spans:
+            if sp["kind"] in ("figure", "table"):
+                m = RE_CAPTION_NUM.match(sp["text"])
+                if m:
+                    num_to[m.group(1)] = (sp["kind"], sp["media_ref"])
+        markers: list[dict[str, Any]] = []
+        for sp in out_spans:
+            if sp["kind"] != "paragraph":
+                continue
+            for m in RE_MARKER.finditer(sp["text"]):
+                word_kind = "table" if m.group(1) == "tableau" else "figure"
+                kind, ref = num_to.get(m.group(2), (word_kind, ""))
+                markers.append({"span_order": sp["order"],
+                                "start": m.start(), "end": m.end(),
+                                "marker_kind": kind, "target": ref})
+        base["markers"] = markers
+
         base["spans"] = out_spans
         base["entities"] = entities
         base["sentences"] = sentences

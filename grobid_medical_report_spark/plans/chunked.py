@@ -64,6 +64,7 @@ def _merge_chunks():
         zones: list[dict[str, Any]] = []
         entities: list[dict[str, Any]] = []
         sentences: list[dict[str, Any]] = []
+        markers: list[dict[str, Any]] = []
         line_shift = 0   # input-span index shift for zone ranges
         n_spans_in = 0
         status = "ok"
@@ -80,17 +81,39 @@ def _merge_chunks():
             for sn in row["sentences"]:
                 sentences.append({**sn,
                                   "span_order": sn["span_order"] + span_shift})
+            for mk in row["markers"]:
+                markers.append({**mk,
+                                "span_order": mk["span_order"] + span_shift})
             line_shift += int(row["n_spans"])
             n_spans_in += int(row["n_spans"])
             if row["status"] != "ok":
                 status = row["status"]
+        # cross-chunk marker resolution: a marker may cite a figure from an
+        # earlier chunk, unresolvable chunk-locally — re-resolve against the
+        # whole doc's caption-number map (same J4 logic as the kernel)
+        from ..operators.assemble import RE_CAPTION_NUM, RE_MARKER
+
+        num_to = {}
+        for sp in spans:
+            if sp["kind"] in ("figure", "table"):
+                m = RE_CAPTION_NUM.match(sp["text"])
+                if m:
+                    num_to[m.group(1)] = (sp["kind"], sp["media_ref"])
+        span_text = {sp["order"]: sp["text"] for sp in spans}
+        for mk in markers:
+            if not mk["target"]:
+                frag = span_text[mk["span_order"]][mk["start"]:mk["end"]]
+                m = RE_MARKER.fullmatch(frag)
+                if m and m.group(2) in num_to:
+                    mk["marker_kind"], mk["target"] = num_to[m.group(2)]
+
         return pd.DataFrame([{
             "doc_id": first["doc_id"], "spans": spans, "zones": zones,
             "header": first["header"], "leftnote": first["leftnote"],
             "medics": list(first["medics"]), "patients": list(first["patients"]),
             "datelines": list(first["datelines"]),
             "person_names": list(first["person_names"]),
-            "entities": entities, "sentences": sentences,
+            "entities": entities, "sentences": sentences, "markers": markers,
             "n_spans": n_spans_in, "n_pages": int(pdf["n_pages"].sum()),
             "status": status,
         }])

@@ -60,6 +60,8 @@ EXTRACT_SCHEMA = (
     "entities array<struct<type:string,text:string,start:int,end:int,"
     "span_order:int>>, "
     "sentences array<struct<span_order:int,idx:int,start:int,end:int>>, "
+    "markers array<struct<span_order:int,start:int,end:int,"
+    "marker_kind:string,target:string>>, "
     "n_spans int, n_pages int, status string"
 )
 
@@ -80,7 +82,7 @@ def _extract_batches(max_spans: int | None):
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "spans", "zones", "header", "leftnote", "medics",
                 "patients", "datelines", "person_names", "entities",
-                "sentences", "n_spans", "n_pages", "status"])
+                "sentences", "markers", "n_spans", "n_pages", "status"])
 
     return fn
 

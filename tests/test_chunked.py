@@ -35,6 +35,13 @@ def test_chunked_equals_unchunked(spark):
     hdr_plain = {r["doc_id"]: r.header for r in plain}
     assert hdr == hdr_plain
 
+    # cross-chunk marker resolution: a chunk-2 callout citing a chunk-0
+    # figure must still resolve to its media_ref
+    mks = {r["doc_id"]: [tuple(m) for m in r.markers] for r in chunked}
+    mks_plain = {r["doc_id"]: [tuple(m) for m in r.markers] for r in plain}
+    assert mks == mks_plain
+    assert any(m for ms in mks.values() for m in ms), "no markers exercised"
+
 
 def test_chunked_matches_golden_oracle(spark):
     exp = {d["doc_id"]: d for d in expected_docs(N)}

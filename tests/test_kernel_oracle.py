@@ -13,7 +13,7 @@ from grobid_medical_report_spark.operators.assemble import extract_doc
 
 N_DOCS = 300
 FIELDS = ["zones", "header", "leftnote", "medics", "patients",
-          "datelines", "person_names", "entities", "sentences"]
+          "datelines", "person_names", "entities", "sentences", "markers"]
 
 
 @pytest.mark.parametrize("chunk", range(0, N_DOCS, 50))
