@@ -88,6 +88,24 @@ def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
 
 
+def x_eval_segmenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone P/R/F1 of the segmenter against the golden annotation table
+    (the reference's eval_* harness analog, SURVEY §5.2). The engine scores
+    1.0 on its golden corpus — that equality is itself asserted in
+    tests/test_evaluation.py; this query exercises the distributed
+    prediction-vs-annotation join + metric aggregation."""
+    from grobid_medical_report_spark.corpus import truth_zone_lines_df
+    from grobid_medical_report_spark.operators.evaluation import evaluate_labels
+    from grobid_medical_report_spark.operators.training import training_data
+
+    n = min(_n_docs(spark, sf_dir), 200)
+    pred = (training_data(corpus_df(spark, n))
+            .filter("model = 'medical-report-segmenter'")
+            .select("doc_id", "line_idx", F.col("label").alias("predicted")))
+    truth = truth_zone_lines_df(spark, n)
+    return evaluate_labels(pred.join(truth, ["doc_id", "line_idx"]))
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -116,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_markers": x_extract_markers,
         "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
         "x_training_data": x_training_data,
+        "x_eval_segmenter": x_eval_segmenter,
     })
     return out
 

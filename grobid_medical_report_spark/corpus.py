@@ -483,3 +483,23 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
 def expected_docs(n_docs: int) -> list[dict[str, Any]]:
     """Driver-side golden fixtures for test-scale corpora."""
     return [generate_doc(i) for i in range(n_docs)]
+
+
+def truth_zone_lines_df(spark, n_docs: int):
+    """Distributed golden truth table (doc_id, line_idx, label) of coarse
+    zone labels — the annotated side of the eval harness (SURVEY §5.2)."""
+    import pandas as pd
+
+    parts = spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                d = generate_doc(int(i))
+                for j, lab in enumerate(d["line_labels"]):
+                    rows.append((d["doc_id"], j, ZONE_OF[lab]))
+            yield pd.DataFrame(rows, columns=["doc_id", "line_idx", "label"])
+
+    return rng_df.mapInPandas(gen, schema="doc_id string, line_idx int, label string")

@@ -1,0 +1,47 @@
+"""Evaluation harness: P/R/F math and the engine's own score on its corpus."""
+
+import pyspark.sql.functions as F
+
+from grobid_medical_report_spark.corpus import ZONE_OF, corpus_df, expected_docs
+from grobid_medical_report_spark.operators.evaluation import (
+    evaluate_labels, split_column, summary)
+from grobid_medical_report_spark.operators.training import training_data
+
+
+def test_prf_math(spark):
+    # hand-computable case: truth = a a a b b, pred = a a b b c
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "a"), ("b", "b"), ("c", "b")],
+        "predicted string, label string")
+    rows = {r["label"]: r for r in evaluate_labels(pairs).collect()}
+    assert rows["a"]["support"] == 3
+    assert rows["a"]["precision"] == 1.0          # 2 predicted 'a', both right
+    assert rows["a"]["recall"] == round(2 / 3, 4)
+    assert rows["b"]["precision"] == 0.5
+    assert rows["c"]["precision"] == 0.0 and rows["c"]["support"] == 0
+
+
+def test_engine_scores_perfect_on_golden_corpus(spark):
+    n = 20
+    pred = (training_data(corpus_df(spark, n))
+            .filter("model = 'medical-report-segmenter'")
+            .select("doc_id", "line_idx", F.col("label").alias("predicted")))
+    truth_rows = []
+    for d in expected_docs(n):
+        for i, lab in enumerate(d["line_labels"]):
+            truth_rows.append((d["doc_id"], i, ZONE_OF[lab]))
+    truth = spark.createDataFrame(truth_rows, "doc_id string, line_idx int, label string")
+    pairs = pred.join(truth, ["doc_id", "line_idx"])
+    per_label = evaluate_labels(pairs)
+    s = summary(per_label)
+    assert s["micro_recall"] == 1.0
+    assert s["macro_f1"] == 1.0
+
+
+def test_split_deterministic_and_disjoint(spark):
+    df = split_column(corpus_df(spark, 50))
+    a = {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.6 < frac < 0.95
