@@ -65,7 +65,75 @@ def q_setops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("p_brand", "brand"))
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average via a broadcast self-agg
+    (the 'compare each row to its group's aggregate' pattern)."""
+    l = _t(spark, sf_dir, "lineitem")
+    avg_qty = (l.groupBy("l_partkey")
+                .agg((F.avg("l_quantity") * 0.5).alias("half_avg")))
+    return (l.join(F.broadcast(avg_qty), "l_partkey")
+             .filter(F.col("l_quantity") < F.col("half_avg"))
+             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                   .alias("avg_yearly")))
+
+
+def q_full_outer_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: brands selling tiny sizes vs huge sizes."""
+    p = _t(spark, sf_dir, "part")
+    tiny = (p.filter(F.col("p_size") <= 3).groupBy("p_brand")
+             .agg(F.count(F.lit(1)).alias("n_tiny"))
+             .withColumnRenamed("p_brand", "b1"))
+    huge = (p.filter(F.col("p_size") >= 47).groupBy("p_brand")
+             .agg(F.count(F.lit(1)).alias("n_huge"))
+             .withColumnRenamed("p_brand", "b2"))
+    return (tiny.join(huge, tiny.b1 == huge.b2, "full_outer")
+            .select(F.coalesce("b1", "b2").alias("brand"),
+                    F.coalesce("n_tiny", F.lit(0)).alias("n_tiny"),
+                    F.coalesce("n_huge", F.lit(0)).alias("n_huge")))
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (the span-array manipulation idiom of
+    the whole engine, SURVEY §2.10): transform / filter / aggregate / exists
+    over the token array, all JVM-side."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim("text"), " ")
+    total_chars = F.aggregate(F.transform(toks, F.length),
+                              F.lit(0), lambda acc, x: acc + x)
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) > 4))
+    has_spark = F.exists(toks, lambda x: x == "spark").cast("int")
+    return d.select("doc_id", total_chars.alias("total_chars"),
+                    n_long.alias("n_long_tokens"),
+                    has_spark.alias("has_spark"))
+
+
 ORACLES: dict[str, str] = {
+    "q_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                            WHERE l_partkey = l.l_partkey)
+    """,
+    "q_full_outer_brands": """
+        SELECT coalesce(b1, b2) AS brand,
+               coalesce(n_tiny, 0) AS n_tiny, coalesce(n_huge, 0) AS n_huge
+        FROM (SELECT p_brand AS b1, count(*) AS n_tiny FROM part
+              WHERE p_size <= 3 GROUP BY p_brand) t
+        FULL OUTER JOIN
+             (SELECT p_brand AS b2, count(*) AS n_huge FROM part
+              WHERE p_size >= 47 GROUP BY p_brand) h
+        ON b1 = b2
+    """,
+    "q_array_hof": """
+        SELECT doc_id,
+               list_aggregate(list_transform(string_split(trim(text), ' '),
+                              x -> length(x)), 'sum') AS total_chars,
+               len(list_filter(string_split(trim(text), ' '),
+                   x -> length(x) > 4)) AS n_long_tokens,
+               CAST(len(list_filter(string_split(trim(text), ' '),
+                   x -> x = 'spark')) > 0 AS INT) AS has_spark
+        FROM documents
+    """,
     "q_rollup_orders": """
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
@@ -103,6 +171,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_small_quantity_revenue": q_small_quantity_revenue,
+    "q_full_outer_brands": q_full_outer_brands,
+    "q_array_hof": q_array_hof,
     "q_rollup_orders": q_rollup_orders,
     "q_cube_lineitem": q_cube_lineitem,
     "q_distinct_parts_per_order": q_distinct_parts_per_order,
