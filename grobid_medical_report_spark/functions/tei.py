@@ -118,6 +118,36 @@ def render_tei_body(spans: list[dict[str, Any]]) -> str:
     return _tag("body", "".join(out))
 
 
+#: NER entity type -> TEI element name (reference toTEIFrenchNER:1448-...,
+#: content via trainingExtractionWithoutEnamex)
+_NER_TAG = {
+    "persname": "persName", "perstype": "persType", "rolename": "roleName",
+    "orgname": "orgName", "anatomy": "anatomy", "pathology": "pathology",
+    "symptom": "symptom", "physiology": "physiology", "procedure": "procedure",
+    "medicament": "medicament", "substance": "substance", "device": "device",
+    "location": "location", "date": "date", "time": "time", "value": "value",
+    "unit": "unit", "dose": "dose", "email": "email", "phone": "phone",
+    "web": "web", "idno": "idno", "measure": "measure", "object": "object",
+    "living": "living",
+}
+
+
+def render_ner_tei(text: str, entities: list[dict[str, Any]]) -> str:
+    """Inline `<listEntity>` markup (T6): entity spans wrapped in their typed
+    elements in place, newlines as <lb/> — the shape of the reference fixture
+    processFrenchMedicalNERFromText.xml."""
+    out: list[str] = []
+    pos = 0
+    for e in sorted(entities, key=lambda x: x["start"]):
+        out.append(escape(text[pos:e["start"]]))
+        tag = _NER_TAG.get(e["type"], e["type"])
+        out.append(_tag(tag, escape(text[e["start"]:e["end"]])))
+        pos = e["end"]
+    out.append(escape(text[pos:]))
+    body = "".join(out).replace("\n", "<lb/>")
+    return f"<listEntity>\n\t{body}\n</listEntity>"
+
+
 def render_tei(doc: dict[str, Any]) -> str:
     """Full TEI document string for one extracted doc."""
     hdr = render_tei_header(doc.get("header") or {}, doc.get("leftnote"),

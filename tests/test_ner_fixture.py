@@ -55,3 +55,19 @@ def test_reference_ner_text_fixture():
 def test_offsets_are_exact():
     for e in extract_entities(FIXTURE_TEXT):
         assert FIXTURE_TEXT[e["start"]:e["end"]] == e["text"]
+
+
+def test_inline_tei_matches_reference_fixture_verbatim():
+    """Full inline-markup parity with processFrenchMedicalNERFromText.xml
+    (whitespace-normalized): same tags, same boundaries, same <lb/>s."""
+    import re
+
+    from grobid_medical_report_spark.functions.tei import render_ner_tei
+
+    got = render_ner_tei(FIXTURE_TEXT, extract_entities(FIXTURE_TEXT))
+    with open("/root/reference/resources/test/"
+              "processFrenchMedicalNERFromText.xml", encoding="utf-8") as f:
+        want = f.read()
+
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    assert norm(got) == norm(want)
