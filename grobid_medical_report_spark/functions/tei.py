@@ -91,10 +91,13 @@ def render_tei_body(spans: list[dict[str, Any]]) -> str:
             continue  # marginalia are not body content (segmenter fixtures)
         if kind in ("header", "leftnote"):
             continue  # rendered in the teiHeader
-        if kind == "section":
+        if kind in ("section", "subsection"):
+            # every heading opens its own <div> (fixture shape:
+            # <div><head level="2">Antécédents :</head>...)
             if open_div:
                 out.append("</div>")
-            out.append("<div>" + _tag("head", escape(text), level="1"))
+            level = "1" if kind == "section" else "2"
+            out.append("<div>" + _tag("head", escape(text), level=level))
             open_div = True
             continue
         if kind in ("figure", "table"):
@@ -146,6 +149,132 @@ def render_ner_tei(text: str, entities: list[dict[str, Any]]) -> str:
     out.append(escape(text[pos:]))
     body = "".join(out).replace("\n", "<lb/>")
     return f"<listEntity>\n\t{body}\n</listEntity>"
+
+
+_TEI_OPEN = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+             '<TEI xml:space="preserve" xmlns="http://www.tei-c.org/ns/1.0" \n'
+             'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" \n'
+             'xmlns:xlink="http://www.w3.org/1999/xlink">\n')
+
+_APP_INFO = (
+    '<encodingDesc><appInfo>'
+    '<application version="0.0.1" name="grobid-medical-report" access="{access}">'
+    "<desc>grobid-medical-report is a GROBID (https://github.com/kermitt2/grobid) "
+    "module for extracting and structuring French medical reports into "
+    "structured XML/TEI encoded documents.</desc>"
+    '<ref target="https://github.com/tantikristanti/grobid-medical-report"/>'
+    "</application></appInfo></encodingDesc>")
+
+_AVAILABILITY = ("<availability><p>Copyright : "
+                 "©grobid-medical-report (INRIA-Project)</p></availability>")
+
+
+def _staff_mixed_content(entries: list[str]) -> str:
+    """Encoded left-note staff entries -> the fixture's mixed-content
+    <medic> body ("<roleName>..</roleName> : <persName>..</persName> ...")."""
+    chunks: list[str] = []
+    for entry in entries:
+        parts = [p.split("=", 1) for p in entry.split("|")]
+        chunks.append(" : ".join(_tag(k, escape(v)) for k, v in parts))
+    return " ".join(chunks)
+
+
+def _tei_header_xml(header: dict[str, Any], leftnote: dict[str, Any],
+                    patients: list[dict[str, Any]],
+                    medics: list[dict[str, Any]], n_pages: int,
+                    access: str, with_listorg: bool) -> str:
+    parts = [_APP_INFO.format(access=access), "<fileDesc>"]
+    title = _tag("title", escape(header.get("title", "")), type="main")
+    extent = _tag("extent", _tag("measure", str(n_pages), unit="pages"))
+    parts.append(_tag("titleStmt", title + extent))
+    parts.append(_AVAILABILITY)
+    pub = ""
+    if header.get("date_iso"):
+        pub += _tag("date", escape(header["date_iso"]), type="issued",
+                    when=header["date_iso"])
+    publisher = ""
+    if leftnote.get("org"):
+        publisher += _tag("affiliation", escape(leftnote["org"]))
+    if leftnote.get("address"):
+        publisher += _tag("address", _tag("addrLine", escape(leftnote["address"])))
+    if publisher:
+        pub += _tag("publisher", publisher)
+    parts.append(_tag("publicationStmt", pub))
+    src = ""
+    names = header.get("medics")
+    if names is not None and len(names) > 0:
+        roles = "\t".join(m.get("role", "") for m in medics)
+        medic = _tag("medic", _tag("persName", escape("; ".join(list(names))))
+                     + _tag("roleName", escape(roles)))
+        src += _tag("listPerson", medic, type="medics")
+    staff = list(leftnote.get("medics") or [])
+    if with_listorg and staff:
+        src += _tag("listOrg", _tag("medic", _staff_mixed_content(staff)))
+    pts = []
+    for p in patients:
+        fields = ""
+        if p.get("idtype"):
+            fields += _tag("idType", escape(p["idtype"]))
+        if p.get("id"):
+            fields += _tag("idno", escape(p["id"]))
+        if p.get("persname"):
+            fields += _tag("persName", escape(p["persname"]))
+        if p.get("birthdate"):
+            fields += _tag("birth", escape(p["birthdate"]), when=p["birthdate"])
+        if p.get("age"):
+            fields += _tag("age", escape(p["age"]))
+        if p.get("address"):
+            fields += _tag("address", escape(p["address"]))
+        pts.append(_tag("patient", fields))
+    if pts:
+        src += _tag("listPerson", "".join(pts), type="patients")
+    parts.append(_tag("sourceDesc", src))
+    parts.append("</fileDesc>")
+    return _tag("teiHeader", "".join(parts), **{"xml:lang": "fr"})
+
+
+def render_tei_header_doc(header: dict[str, Any], leftnote: dict[str, Any],
+                          patients: list[dict[str, Any]],
+                          medics: list[dict[str, Any]],
+                          n_pages: int = 1,
+                          access: str = "1970-01-01T00:00+0000") -> str:
+    """Complete header TEI document, shaped exactly like the reference's
+    processHeaderFromPDF.xml (TEIFormatter.toTEIHeader:115-300); compared
+    whitespace-normalized with the access timestamp factored out."""
+    return (_TEI_OPEN
+            + _tei_header_xml(header, leftnote, patients, medics, n_pages,
+                              access, with_listorg=False)
+            + "\n</TEI>")
+
+
+def render_tei_fulltext_doc(doc: dict[str, Any], n_pages: int = 1,
+                            access: str = "1970-01-01T00:00+0000") -> str:
+    """Complete full-text TEI document shaped like processFullMedicalText.xml
+    (FullMedicalTextParser.toTEI:5867-5922): teiHeader (with the letterhead
+    listOrg between the medics and patients lists) followed directly by
+    <body> built from the ordered span sequence."""
+    hdr = _tei_header_xml(doc.get("header") or {}, doc.get("leftnote") or {},
+                          doc.get("patients") or [], doc.get("medics") or [],
+                          n_pages, access, with_listorg=True)
+    return _TEI_OPEN + hdr + render_tei_body(doc.get("spans") or []) + "\n</TEI>"
+
+
+def render_tei_leftnote_doc(leftnote: dict[str, Any], n_pages: int = 1,
+                            access: str = "1970-01-01T00:00+0000") -> str:
+    """Complete left-note TEI document, shaped like
+    processLeftNoteFromPDF.xml.xml (TEIFormatter.toTEILeftNote:301-392)."""
+    parts = [_APP_INFO.format(access=access), "<fileDesc>"]
+    extent = _tag("extent", _tag("measure", str(n_pages), unit="pages"))
+    parts.append(_tag("titleStmt", extent))
+    parts.append(_AVAILABILITY)
+    medic_entries = list(leftnote.get("medics") or [])
+    listorg = _tag("listOrg", _tag("medic", _staff_mixed_content(medic_entries)))
+    parts.append(_tag("sourceDesc", listorg))
+    parts.append("</fileDesc>")
+    return (_TEI_OPEN
+            + _tag("note", "".join(parts), place="left",
+                   type="hospital-structure", **{"xml:lang": "fr"})
+            + "\n</TEI>")
 
 
 def render_tei(doc: dict[str, Any]) -> str:

@@ -114,8 +114,19 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
                     j += 1
                 continue
             if lab in MERGE_KINDS:
+                from .body import RE_LABEL_LINE, RE_SEPARATOR
+
                 k = j
                 while k < n and fine[k] == lab:
+                    if lab == "paragraph":
+                        # dash separators and label-lines begin/stand as
+                        # their own clusters (I- begin-marker analog)
+                        if k > j and (RE_SEPARATOR.match(texts[k])
+                                      or RE_LABEL_LINE.fullmatch(texts[k])):
+                            break
+                        if k == j and RE_LABEL_LINE.fullmatch(texts[k]):
+                            k += 1
+                            break
                     k += 1
                 merged = dehyphenize_join(texts[j:k])
                 if lab == "paragraph":

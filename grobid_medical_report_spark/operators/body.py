@@ -17,13 +17,31 @@ from __future__ import annotations
 
 import re
 
+from ..functions.lexicon import SECTIONS, SUBSECTIONS
+
 RE_SECTION = re.compile(r"^[A-ZÀ-ÖØ-Þ][A-ZÀ-ÖØ-Þ' ]{2,} ?:$")
 RE_SUBSECTION = re.compile(r"^[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ' ]+ ?:$")
 RE_ITEM = re.compile(r"^- ")
 RE_FIGURE_CAP = re.compile(r"^Figure \d+ ?:")
 RE_TABLE_CAP = re.compile(r"^Tableau \d+ ?:")
+#: "Dr Martinez" / "Docteur Margo COCO" — optional ALLCAPS surname
 RE_MEDIC_BODY = re.compile(
-    r"^(?:Docteur|Dr|Pr)\.? [A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+ [A-ZÀ-ÖØ-Þ]{2,}$")
+    r"^(?:Docteur|Dr|Pr)\.? [A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+(?: [A-ZÀ-ÖØ-Þ]{2,})?$")
+#: titleless short name line ("Margo COCO" after a dash separator, see the
+#: reference full-text fixture) — Titlecase + ALLCAPS only, max 3 tokens
+RE_MEDIC_BARE = re.compile(
+    r"^[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+ [A-ZÀ-ÖØ-Þ]{2,}$")
+#: dash-rule separator starts a new paragraph cluster (the I- begin-marker
+#: analog; keeps "<p>le 29/04/2000</p><p>--------------Docteur</p>" split)
+RE_SEPARATOR = re.compile(r"^-{4,}")
+#: label-shaped prose line ("Gestes effectués :") — its own one-line cluster,
+#: not merged into neighbours (fixture keeps it a separate <p>)
+RE_LABEL_LINE = re.compile(r"^[A-Za-zà-öø-ÿÀ-ÖØ-Þ' ]+ ?:$")
+
+#: known heading lexicons (F9 feature deciding heading level, the fixture's
+#: "Histoire de la maladie :" -> level 1 despite titlecase)
+_SECTION_UPPER = {s.upper() for s in SECTIONS}
+_SUBSECTION_SET = set(SUBSECTIONS)
 
 
 def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
@@ -41,10 +59,15 @@ def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
         return "table"
     if RE_ITEM.match(text):
         return "item"
-    if RE_MEDIC_BODY.fullmatch(text):
+    if RE_MEDIC_BODY.fullmatch(text) or RE_MEDIC_BARE.fullmatch(text):
         return "medic"
     if RE_SECTION.fullmatch(text):
         return "section"
     if RE_SUBSECTION.fullmatch(text):
-        return "subsection"
+        stem = text.rstrip(" :")
+        if stem.upper() in _SECTION_UPPER:
+            return "section"          # lexicon feature overrides case shape
+        if stem in _SUBSECTION_SET:
+            return "subsection"
+        return "paragraph"            # "Gestes effectués :" stays prose
     return "paragraph"

@@ -64,7 +64,20 @@ RE_POSTCODE = re.compile(r"^\d{5} [A-ZÀ-ÖØ-Þ ]+(?: Cedex)?$")
 RE_TEL = re.compile(r"^Tél ?: .+$")
 RE_FAX = re.compile(r"^Fax ?: .+$")
 
-_LEFTNOTE_RES = (RE_POLE, RE_SERVICE, RE_STREET, RE_POSTCODE, RE_TEL, RE_FAX)
+# letterhead staff block (reference left-note fixture): role/name pairs,
+# secretariat phone lines, bare staff names/roles. The org token must
+# contain a lowercase letter so "IPP : 123" (all-caps, a patient idno)
+# stays a header pattern.
+RE_STAFF_ROLE_NAME = re.compile(
+    r"^([A-ZÀ-ÖØ-Þ][\wà-ÿ' ]+?) ?: ?((?:Pr|Dr|Mme|M)\.? .+)$")
+RE_STAFF_ORG_PHONE = re.compile(
+    r"^([A-ZÀ-ÖØ-Þ][\wà-ÿ]*[a-zà-öø-ÿ][\wà-ÿ]*) ?: ?(\d[\d ]+)$")
+RE_STAFF_NAME = re.compile(r"^((?:Pr|Dr|Mme)\.? [A-ZÀ-ÖØ-Þ][\wà-ÿ .]*)$")
+RE_STAFF_ROLE = re.compile(r"^(Kinésithérapeute|Sage-femme|Infirmière)[\wà-ÿ' ]*$")
+
+_LEFTNOTE_RES = (RE_POLE, RE_SERVICE, RE_STREET, RE_POSTCODE, RE_TEL, RE_FAX,
+                 RE_STAFF_ROLE_NAME, RE_STAFF_ORG_PHONE, RE_STAFF_NAME,
+                 RE_STAFF_ROLE)
 _HEADER_RES = (RE_DOCNUM, RE_DATELINE, RE_MEDIC_LINE, RE_IDNO,
                RE_PATIENT_NAME, RE_BIRTH, RE_AGE, RE_PADDR)
 
