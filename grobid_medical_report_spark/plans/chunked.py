@@ -25,7 +25,7 @@ them — so per-chunk RLE + concatenation is exactly whole-doc RLE.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
