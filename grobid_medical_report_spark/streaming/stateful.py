@@ -1,0 +1,121 @@
+"""Stateful Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.12); these give the engine the
+streaming half of the task mandate: watermarks + windowed aggregation for
+late data, and a custom stateful operator via ``applyInPandasWithState``
+(the streaming twin of the C2 sessionizer — state carries an open session
+across micro-batches, something a per-batch window cannot do).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SEC = 30 * 60
+
+SESSION_SCHEMA = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events int, total_value double")
+_STATE_SCHEMA = "start double, last double, n int, total double"
+
+
+def _sessionize(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+                state: GroupState) -> Iterator["pd.DataFrame"]:
+    """Gap-based sessions with cross-batch state: events extend the open
+    session; a gap (or state timeout) closes and emits it."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": user_id,
+            "session_start": dt.datetime.utcfromtimestamp(start),
+            "session_end": dt.datetime.utcfromtimestamp(last),
+            "n_events": int(n), "total_value": float(total)}])
+        return
+
+    ts_list: list[float] = []
+    val_list: list[float] = []
+    for pdf in pdfs:
+        ts_list += [t.timestamp() for t in pdf["ts"]]
+        val_list += list(pdf["value"])
+    order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+
+    closed: list[dict[str, Any]] = []
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = None
+        n, total = 0, 0.0
+    for i in order:
+        t, v = ts_list[i], val_list[i]
+        if start is None:
+            start, last, n, total = t, t, 0, 0.0
+        elif t - last > SESSION_GAP_SEC:
+            closed.append({"user_id": user_id,
+                           "session_start": dt.datetime.utcfromtimestamp(start),
+                           "session_end": dt.datetime.utcfromtimestamp(last),
+                           "n_events": int(n), "total_value": float(total)})
+            start, last, n, total = t, t, 0, 0.0
+        n += 1
+        total += float(v)
+        last = t
+    state.update((float(start), float(last), int(n), float(total)))
+    # event-time timeout: the session closes when the WATERMARK passes
+    # last+gap (ProcessingTimeTimeout would keep availableNow spinning
+    # empty micro-batches to fire wall-clock timeouts)
+    state.setTimeoutTimestamp(int((last + SESSION_GAP_SEC) * 1000))
+    import pandas as pd
+
+    yield pd.DataFrame(closed, columns=["user_id", "session_start",
+                                        "session_end", "n_events",
+                                        "total_value"])
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
+                      checkpoint_dir: str):
+    """Continuous gap-sessionization of an events stream (parquet source)."""
+    src = (spark.readStream
+           .schema("event_id bigint, ts timestamp, user_id bigint, "
+                   "event_type string, value double, props string")
+           .parquet(input_dir))
+    sessions = (src.withWatermark("ts", "1 hour")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    _sessionize, outputStructType=SESSION_SCHEMA,
+                    stateStructType=_STATE_SCHEMA,
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    q = (sessions.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
+
+
+def stream_windowed_counts(spark: SparkSession, input_dir: str, out_dir: str,
+                           checkpoint_dir: str):
+    """Watermarked sliding-window aggregation over the events stream
+    (late rows beyond the watermark are dropped, windows finalize once)."""
+    src = (spark.readStream
+           .schema("event_id bigint, ts timestamp, user_id bigint, "
+                   "event_type string, value double, props string")
+           .parquet(input_dir))
+    agg = (src.withWatermark("ts", "30 minutes")
+           .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    out = agg.select(F.col("window.start").alias("win_start"),
+                     F.col("window.end").alias("win_end"),
+                     "event_type", "n_events", "total_value")
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
