@@ -85,6 +85,29 @@ def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.max("l2"), 6).alias("max_norm")))
 
 
+NEAR_DUP_TAU = 0.4
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup mode over vectors):
+    all pairs with cosine >= tau. Brute pairwise with the smaller side
+    broadcast — the exactness baseline the LSH path is checked against;
+    at 10^9 vectors the candidate generation flips to the sign-LSH buckets
+    of :func:`x_emb_ann_lsh`."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    dot = F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", F.round(dot / (nrm(F.col("emb_a"))
+                                               * nrm(F.col("emb_b"))), 9))
+             .filter(F.col("sim") >= NEAR_DUP_TAU)
+             .select("id_a", "id_b", "sim"))
+
+
 def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
                   n_tables: int = 12, n_bits: int = 4) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH.
@@ -148,6 +171,15 @@ _PAIRS_SQL = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_emb_near_dup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 9) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 9)
+              >= {NEAR_DUP_TAU}
+    """,
     "q_emb_topk_cosine": _PAIRS_SQL + f"""
         SELECT query_id, vec_id, sim, rank FROM (
           SELECT query_id, vec_id, sim,
@@ -187,6 +219,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_emb_near_dup": q_emb_near_dup,
     "q_emb_topk_cosine": q_emb_topk_cosine,
     "q_emb_knn_label_vote": q_emb_knn_label_vote,
     "q_emb_label_norms": q_emb_label_norms,

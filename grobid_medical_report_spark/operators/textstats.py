@@ -37,6 +37,23 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.avg("n_chars"), 4).alias("avg_chars")))
 
 
+#: BPE-ish pre-tokenization: letter runs | digit runs | single punct marks
+#: (the standard byte-pair pre-split shape; shared verbatim with the oracle)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both whitespace and BPE-ish-regex flavors — the
+    per-document cost accounting of a training-data pipeline."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
+    return (d.select("doc_id", ws.alias("n_ws_tokens"),
+                     bpe.alias("n_bpe_tokens"))
+             .withColumn("tokens_per_word",
+                         F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4)))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + mean word length + length gate
     (the reference's P2/P3 sanitization mapped to corpus curation)."""
@@ -89,6 +106,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_doc_bpe_tokens": rf"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               round(len(regexp_extract_all(text, '{BPE_PATTERN}')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 4)
+                 AS tokens_per_word
+        FROM documents
+    """,
     "q_doc_token_stats": r"""
         SELECT lang, count(*) AS n_docs,
                sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
@@ -140,6 +166,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_doc_langid": q_doc_langid,
