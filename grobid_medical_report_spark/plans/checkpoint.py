@@ -54,12 +54,16 @@ def completed_parts(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
 def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
                         run_id: str, n_parts: int = 8, chunk_size: int = 2,
                         max_chunks: int | None = None,
-                        max_spans: int | None = 200_000) -> int:
+                        max_spans: int | None = 200_000,
+                        extract_fn=None) -> int:
     """Extract ``df`` into ``out_dir`` resumably. Returns #chunks executed.
 
     ``max_chunks`` exists for the kill/restart test (simulated crash after N
-    committed chunks).
+    committed chunks). ``extract_fn`` swaps the extraction strategy (e.g.
+    plans.chunked.extract_chunked for giant-heavy corpora).
     """
+    if extract_fn is None:
+        extract_fn = extract
     data_dir = out_dir.rstrip("/") + "/data"
     done = completed_parts(spark, out_dir, run_id)
     keyed = df.withColumn("part_id",
@@ -71,7 +75,7 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
         if max_chunks is not None and executed >= max_chunks:
             break
         part = keyed.filter(F.col("part_id").isin([int(c) for c in chunk]))
-        extracted = extract(part.drop("part_id"), max_spans=max_spans)
+        extracted = extract_fn(part.drop("part_id"), max_spans=max_spans)
         out = extracted.withColumn(
             "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
         # chunk write = one atomic job commit

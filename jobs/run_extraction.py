@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-spans", type=int, default=200_000)
     ap.add_argument("--tei", action="store_true",
                     help="also render TEI strings next to the span table")
+    ap.add_argument("--chunked", action="store_true",
+                    help="page-chunk giant documents (plans/chunked.py) so a "
+                         "single huge doc parallelizes instead of stalling")
     args = ap.parse_args(argv)
 
     from grobid_medical_report_spark.corpus import corpus_df
@@ -52,9 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         src = read_corpus(spark, args.input)
 
+    extract_fn = None
+    if args.chunked:
+        from grobid_medical_report_spark.plans.chunked import extract_chunked
+        extract_fn = extract_chunked
     chunks = run_with_checkpoint(
         spark, src, args.output, run_id=args.run_id, n_parts=args.n_parts,
-        chunk_size=args.chunk_size, max_spans=args.max_spans)
+        chunk_size=args.chunk_size, max_spans=args.max_spans,
+        extract_fn=extract_fn)
 
     results = read_results(spark, args.output)
     if args.tei:
