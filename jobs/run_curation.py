@@ -1,0 +1,81 @@
+"""spark-submit entrypoint: training-data corpus curation.
+
+Chains the curation operators into one shippable job over a documents table
+(doc_id, text, lang, source, n_chars):
+
+  1. exact dedup        keep min doc_id per normalized-text fingerprint
+  2. near-dup removal   MinHash-LSH candidates + exact Jaccard verify;
+                        drop the higher doc_id of every pair >= threshold
+  3. quality gate       stopword ratio + length bounds
+  4. outputs            curated corpus parquet + a stats JSON line
+
+    spark-submit --py-files engine.zip jobs/run_curation.py \
+        --input <sf_dir> --output /path/out [--jaccard 0.8] [--min-chars 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf_dir with documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--min-chars", type=int, default=100)
+    ap.add_argument("--max-stop-ratio", type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from grobid_medical_report_spark.operators.dedup import (
+        q_doc_dedup_exact, q_doc_minhash_lsh)
+    from grobid_medical_report_spark.operators.textstats import q_doc_quality
+    from grobid_medical_report_spark.session import get_spark
+
+    spark = get_spark("run_curation")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    n_in = docs.count()
+
+    # 1. exact dedup survivors
+    survivors = q_doc_dedup_exact(spark, args.input).select("doc_id")
+    n_exact = survivors.count()
+
+    # 2. near-dup pairs -> drop the higher id of each pair
+    pairs = q_doc_minhash_lsh(spark, args.input).filter(
+        F.col("jaccard") >= args.jaccard)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = survivors.join(losers, "doc_id", "left_anti")
+    n_near = survivors.count()
+
+    # 3. quality gate
+    quality = q_doc_quality(spark, args.input)
+    good = quality.filter(
+        (F.col("stop_ratio") <= args.max_stop_ratio)
+        & (F.col("len_ok") == 1)).select("doc_id")
+    survivors = survivors.join(good, "doc_id", "left_semi")
+
+    curated = docs.join(survivors, "doc_id", "left_semi")
+    curated.write.mode("overwrite").parquet(args.output)
+
+    n_out = spark.read.parquet(args.output).count()
+    stats = {"docs_in": n_in,
+             "exact_dup_removed": n_in - n_exact,
+             "near_dup_removed": n_exact - n_near,
+             "quality_removed": n_near - n_out,
+             "docs_out": n_out,
+             "kept_fraction": round(n_out / n_in, 4) if n_in else 0.0}
+    print(json.dumps(stats))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
