@@ -43,31 +43,32 @@ RE_LABEL_LINE = re.compile(r"^[A-Za-zà-öø-ÿÀ-ÖØ-Þ' ]+ ?:$")
 _SECTION_UPPER = {s.upper() for s in SECTIONS}
 _SUBSECTION_SET = set(SUBSECTIONS)
 
+#: one-pass alternation over every body shape (hot path; branch order =
+#: the original cascade order, branches mutually exclusive by shape)
+RE_BODY = re.compile(
+    r"^(?:(?P<figure>Figure \d+ ?:.*)"
+    r"|(?P<table>Tableau \d+ ?:.*)"
+    r"|(?P<item>- .*)"
+    r"|(?P<medic>(?:Docteur|Dr|Pr)\.? [A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+"
+    r"(?: [A-ZÀ-ÖØ-Þ]{2,})?"
+    r"|[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ]+ [A-ZÀ-ÖØ-Þ]{2,})"
+    r"|(?P<section>[A-ZÀ-ÖØ-Þ][A-ZÀ-ÖØ-Þ' ]{2,} ?:)"
+    r"|(?P<subsection>[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ' ]+ ?:))$")
+
 
 def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
     """Fine label for one body-zone line (C1 analog for the body model)."""
     if is_media:
         return "media"
-    if prev_is_media:
-        if RE_FIGURE_CAP.match(text):
-            return "figure"
-        if RE_TABLE_CAP.match(text):
-            return "table"
-    if RE_FIGURE_CAP.match(text):
-        return "figure"
-    if RE_TABLE_CAP.match(text):
-        return "table"
-    if RE_ITEM.match(text):
-        return "item"
-    if RE_MEDIC_BODY.fullmatch(text) or RE_MEDIC_BARE.fullmatch(text):
-        return "medic"
-    if RE_SECTION.fullmatch(text):
-        return "section"
-    if RE_SUBSECTION.fullmatch(text):
+    m = RE_BODY.match(text)
+    if not m:
+        return "paragraph"
+    g = m.lastgroup
+    if g == "subsection":
         stem = text.rstrip(" :")
         if stem.upper() in _SECTION_UPPER:
             return "section"          # lexicon feature overrides case shape
         if stem in _SUBSECTION_SET:
             return "subsection"
         return "paragraph"            # "Gestes effectués :" stays prose
-    return "paragraph"
+    return g

@@ -78,8 +78,32 @@ RE_STAFF_ROLE = re.compile(r"^(Kin√©sith√©rapeute|Sage-femme|Infirmi√®re)[\w√†-√
 _LEFTNOTE_RES = (RE_POLE, RE_SERVICE, RE_STREET, RE_POSTCODE, RE_TEL, RE_FAX,
                  RE_STAFF_ROLE_NAME, RE_STAFF_ORG_PHONE, RE_STAFF_NAME,
                  RE_STAFF_ROLE)
+
 _HEADER_RES = (RE_DOCNUM, RE_DATELINE, RE_MEDIC_LINE, RE_IDNO,
                RE_PATIENT_NAME, RE_BIRTH, RE_AGE, RE_PADDR)
+
+# one-pass alternations (hot path: one regex attempt per line instead of
+# 5-10). ``^(?:A|B|...)$`` is equivalent to fullmatch(A) or fullmatch(B)...
+# because each branch must consume the whole line to satisfy the anchors.
+RE_MAIN = re.compile(
+    r"^(?:(?P<page>\d+\s*/\s*\d+)"
+    r"|(?P<headnote>CHU [A-Z√Ä-√ñ√ò-√û ]+ - Service de .+)"
+    r"|(?P<footnote>CHU .+ - \d+, .+ - \d{5} .+)"
+    r"|(?P<ack>Remerciements\b.*)"
+    r"|(?P<annex>ANNEXE\b.*))$")
+
+
+def _strip_anchors(rx: re.Pattern) -> str:
+    p = rx.pattern
+    return p[1 if p.startswith("^") else 0:
+             -1 if p.endswith("$") else len(p)]
+
+
+RE_LEFT = re.compile(
+    "^(?:" + "|".join(_strip_anchors(rx) for rx in _LEFTNOTE_RES) + ")$")
+RE_HDR = re.compile(
+    "^(?:" + "|".join(_strip_anchors(rx) for rx in _HEADER_RES)
+    + "|" + _strip_anchors(RE_DOCTYPE) + ")$")
 
 # transition matrix: annex_i reachable only from annex_b/annex_i (B-I
 # constraint); small continuation bonus keeps a plain text line after an
@@ -100,9 +124,11 @@ def _emissions(texts: list[str], is_media: np.ndarray,
     em[:, _Z["annex_i"]] = 0.9       # 0.9 + 0.2 continuation > body 1.0
     em[:, _Z["annex_b"]] = -1e9      # emitted only at an ANNEXE marker line
 
-    # page boundaries from page-number lines -> per-line page index
-    page_mark = np.fromiter((bool(RE_PAGE.fullmatch(t)) for t in texts),
-                            dtype=bool, count=n)
+    # one combined-alternation match per line (page/headnote/footnote/ack/
+    # annex); page boundaries -> per-line page index
+    mains = [RE_MAIN.match(t) for t in texts]
+    page_mark = np.fromiter(
+        (bool(m and m.lastgroup == "page") for m in mains), dtype=bool, count=n)
     page_idx = np.concatenate(([0], np.cumsum(page_mark)[:-1]))
 
     # repetitive-pattern counts (F3 analog, the boilerplate detector)
@@ -118,29 +144,25 @@ def _emissions(texts: list[str], is_media: np.ndarray,
             first_section = i
             break
 
+    _kind_state = {"page": _Z["page"], "ack": _Z["acknowledgement"],
+                   "annex": _Z["annex_b"]}
     for i, t in enumerate(texts):
         if is_media[i]:
             em[i, _Z["body"]] = 10.0
             continue
-        if page_mark[i]:
-            em[i, _Z["page"]] = 10.0
-            continue
-        if RE_HEADNOTE.fullmatch(t):
-            em[i, _Z["headnote"]] = 10.0 + counts.get(t, 0) * 0.1
-            continue
-        if RE_FOOTNOTE.fullmatch(t):
-            em[i, _Z["footnote"]] = 10.0 + counts.get(t, 0) * 0.1
-            continue
-        if RE_ACK.match(t):
-            em[i, _Z["acknowledgement"]] = 10.0
-            continue
-        if RE_ANNEX_START.match(t):
-            em[i, _Z["annex_b"]] = 10.0
+        m = mains[i]
+        if m:
+            g = m.lastgroup
+            if g in ("headnote", "footnote"):
+                # repetition count = the F3 boilerplate feature
+                em[i, _Z[g]] = 10.0 + counts.get(t, 0) * 0.1
+            else:
+                em[i, _kind_state[g]] = 10.0
             continue
         if first_chunk and page_idx[i] == 0 and i < first_section:
-            if any(rx.fullmatch(t) for rx in _LEFTNOTE_RES):
+            if RE_LEFT.match(t):
                 em[i, _Z["leftnote"]] = 8.0
-            elif any(rx.fullmatch(t) for rx in _HEADER_RES) or RE_DOCTYPE.fullmatch(t):
+            elif RE_HDR.match(t):
                 em[i, _Z["header"]] = 8.0
             else:
                 em[i, _Z["header"]] = 4.0   # unrecognized front matter -> header
