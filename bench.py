@@ -63,25 +63,25 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def timed_extraction(cores: int, corpus_path: str, n_docs: int,
-                     trials: int = 3) -> float:
-    """Best-of-N wall time: this sandbox is a virtualized box with noisy
-    neighbors — identical runs vary +-40%, so single-shot timings are
-    meaningless; best-of-3 approximates the machine's true capability."""
+                     trials: int = 3) -> tuple[float, list[float]]:
+    """Best-of-N wall time (plus all trials for transparency): this sandbox
+    is a virtualized box with noisy neighbors — identical runs vary +-40%,
+    so single-shot timings are meaningless."""
     spark = get_spark(f"bench-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     src = spark.read.parquet(corpus_path)
     # warmup: JIT, python worker spawn, parquet footer cache
     extract(src.limit(1000)).agg(F.sum(F.size("spans"))).collect()
-    best = float("inf")
+    times: list[float] = []
     for _ in range(trials):
         t0 = time.time()
         (extract(src)
          .agg(F.sum(F.size("spans")), F.sum(F.size("entities")),
               F.count(F.when(F.col("status") != "ok", 1))).collect())
-        best = min(best, time.time() - t0)
+        times.append(round(time.time() - t0, 3))
     spark.stop()
-    return best
+    return min(times), times
 
 
 def main() -> None:
@@ -96,8 +96,8 @@ def main() -> None:
     spark.stop()
     corpus_path = ensure_corpus(n_docs)
 
-    t_low = timed_extraction(LOW, corpus_path, n_docs)
-    t_high = timed_extraction(HIGH, corpus_path, n_docs)
+    t_low, low_trials = timed_extraction(LOW, corpus_path, n_docs, trials=3)
+    t_high, high_trials = timed_extraction(HIGH, corpus_path, n_docs, trials=5)
 
     spark = get_spark("bench-queries", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -119,6 +119,8 @@ def main() -> None:
         "high_docs_per_sec": round(n_docs / t_high, 2),
         "speedup": round(t_low / t_high, 3),
         "efficiency": round(efficiency, 3),
+        "low_trials_sec": low_trials,
+        "high_trials_sec": high_trials,
     }
     result = {
         "metric": "e2e_extraction_sec",
