@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from grobid_medical_report_spark.corpus import corpus_df
 from grobid_medical_report_spark.operators import (dedup, events, multimodal,
                                                    relational, relational2,
-                                                   similarity, strings,
-                                                   textstats)
+                                                   similarity, sketches,
+                                                   strings, textstats)
 from grobid_medical_report_spark.plans.pipeline import (extract,
                                                         render_tei_df,
                                                         result_spans)
@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for m in _MODULES:
         out.update(m.QUERIES)
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
+    out.update(sketches.ROWS_ONLY_QUERIES)
     out.update({
         "x_extract_spans": x_extract_spans,
         "x_extract_header": x_extract_header,
