@@ -47,4 +47,8 @@ def test_random_filter_agg_agrees(qty, disc_lo, flag):
           AND l_returnflag = '{flag}'""").fetchone()
     assert got["n"] == want[0]
     if want[0] > 0:
-        assert abs(got["rev"] - want[1]) < 1e-6
+        # float sums are order-dependent; when the true value sits within an
+        # ulp of a .005 boundary, round(x, 2) can legitimately differ by one
+        # cent between engines (hypothesis found such a predicate). Allow
+        # exactly that boundary flip and nothing more.
+        assert abs(got["rev"] - want[1]) <= 0.01 + 1e-9
