@@ -19,7 +19,8 @@ from grobid_medical_report_spark.corpus import corpus_df
 from grobid_medical_report_spark.operators import (dedup, events, multimodal,
                                                    relational, relational2,
                                                    similarity, sketches,
-                                                   strings, textstats)
+                                                   strings, temporal,
+                                                   textstats)
 from grobid_medical_report_spark.plans.pipeline import (extract,
                                                         render_tei_df,
                                                         result_spans)
@@ -128,7 +129,7 @@ def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MODULES = (relational, relational2, events, textstats, dedup, similarity,
-            strings, multimodal)
+            strings, temporal, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
