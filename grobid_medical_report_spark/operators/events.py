@@ -75,6 +75,18 @@ def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.countDistinct("user_id").alias("n_users")))
 
 
+def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (semi-structured column
+    handling — the engine's opaque-payload idiom applied to JSON)."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+              .groupBy((F.col("k") % 10).alias("k_mod"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                   F.round(F.avg("value"), 4).alias("avg_value")))
+
+
 def q_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic top-10 (O4 top-k with key tie-break)."""
     ev = _ev(spark, sf_dir)
@@ -130,6 +142,14 @@ ORACLES: dict[str, str] = {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY day
     """,
+    "q_event_json_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    """,
     "q_topk_users_by_value": """
         SELECT user_id, round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id
@@ -142,5 +162,6 @@ QUERIES = {
     "q_running_user_value": q_running_user_value,
     "q_event_type_pivot": q_event_type_pivot,
     "q_event_daily_stats": q_event_daily_stats,
+    "q_event_json_props": q_event_json_props,
     "q_topk_users_by_value": q_topk_users_by_value,
 }
