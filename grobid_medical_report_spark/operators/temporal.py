@@ -87,7 +87,10 @@ ORACLES: dict[str, str] = {
         SELECT e.user_id, e.event_id AS error_id,
                strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
                round(p.value, 2) AS purchase_value,
-               round(epoch(e.ts) - epoch(p.ts), 3) AS secs_since_purchase
+               -- exact integer microseconds (epoch() doubles lose
+               -- sub-microsecond precision at 1.7e9-second magnitudes)
+               round(date_diff('microseconds', p.ts, e.ts) / 1e6,
+                     3) AS secs_since_purchase
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON e.user_id = p.user_id AND e.ts >= p.ts
