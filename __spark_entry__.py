@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_tei": x_extract_tei,
         "x_extract_markers": x_extract_markers,
         "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
+        "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
         "x_training_data": x_training_data,
         "x_eval_segmenter": x_eval_segmenter,
     })

@@ -20,6 +20,8 @@ next step and composes from the same primitives.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -146,6 +148,80 @@ def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
     cand = (hashed.join(q, (F.col("tb") == F.col("qtb"))
                         & (F.col("vec_id") != F.col("query_id")))
             .select("query_id", "vec_id", "emb", "qemb").distinct())
+    dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.withColumn("sim", F.round(dot / (nrm(F.col("emb"))
+                                                  * nrm(F.col("qemb"))), 9))
+                .select("query_id", "vec_id", "sim")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= TOP_K))
+
+
+def x_emb_ann_ivf(spark: SparkSession, sf_dir: str,
+                  n_list: int = 16, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the second scale
+    path next to the sign-LSH buckets of :func:`x_emb_ann_lsh`.
+
+    A spherical k-means coarse quantizer is trained driver-side on a seeded,
+    deterministic sample (ordered by vec_id — cheap: the codebook needs
+    thousands of rows, not the corpus), broadcast, and applied as an
+    Arrow-batched pandas UDF (one matmul per batch — no per-row Python).
+    Each vector lands in exactly ONE cell (vs LSH's n_tables copies), so the
+    index adds no storage amplification; queries probe the ``n_probe``
+    nearest cells and re-rank candidates with exact cosine. Per-query cost
+    O(N * n_probe / n_list). Approximate by design => rows-only gate:
+    recall vs the brute-force baseline is measured in
+    tests/test_similarity_ann.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    e = _emb(spark, sf_dir)
+
+    # --- train the codebook (driver-side numpy, seeded: stable across runs)
+    samp = (e.orderBy("vec_id").limit(2048).select("emb").collect())
+    X = np.array([r["emb"] for r in samp], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_list, len(Xn))
+    rng = np.random.RandomState(42)
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)].copy()
+    for _ in range(10):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf(IntegerType())
+    def ivf_cell(emb: pd.Series) -> pd.Series:
+        Xb = np.stack(emb.to_numpy()).astype(np.float64)
+        Xb /= np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Xb @ bc.value.T, axis=1).astype("int32"))
+
+    cells = e.withColumn("cell", ivf_cell("emb"))
+
+    # --- probe lists: n_probe nearest cells per query vector (query set is
+    # tiny by definition; computed driver-side, shipped as a broadcast dim)
+    qrows = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
+              .select("vec_id", "emb").collect())
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["emb"], dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        for cidx in np.argsort(-(bc.value @ v))[:n_probe]:
+            probes.append((int(r["vec_id"]), int(cidx)))
+    probe_df = spark.createDataFrame(probes, "query_id bigint, cell int")
+    q = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
+          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
+
+    cand = (cells.join(F.broadcast(probe_df), "cell")
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .join(F.broadcast(q), "query_id"))
     dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
