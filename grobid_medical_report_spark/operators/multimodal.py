@@ -84,6 +84,77 @@ def x_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fe, schema="doc_id bigint, codec string, features array<double>")
 
 
+RESIZE_TARGET = 16
+FRAME_BYTES = 256
+
+
+def x_media_resize(spark: SparkSession, sf_dir: str,
+                   target: int = RESIZE_TARGET) -> DataFrame:
+    """Image-resize plumbing: rgb8 payloads only (the codec filter runs
+    JVM-side *before* the Python stage), each payload treated as a 1-D pixel
+    strip and area-averaged down to ``target`` buckets with one vectorized
+    numpy pass per Arrow batch. A real deployment swaps the strip-average
+    body for PIL/opencv decode+resize; the Spark contract — binary in,
+    fixed-length array out, codec pruning, batch shape — is exactly this."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(F.col("meta.codec") == "rgb8")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                px = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                if px.size == 0:
+                    out.append([0.0] * target)
+                    continue
+                # area-average into `target` buckets (cheap anti-aliased
+                # downsample; the real kernel is the codec's resampler)
+                edges = np.linspace(0, px.size, target + 1).astype(int)
+                sums = np.add.reduceat(px, edges[:-1])
+                widths = np.maximum(np.diff(edges), 1)
+                out.append(np.round(sums / widths, 6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "src_bytes": [len(p) for p in pdf["payload"]],
+                                "pixels": out})
+
+    return m.mapInPandas(
+        resize, schema="doc_id bigint, src_bytes int, pixels array<double>")
+
+
+def x_media_frame_sample(spark: SparkSession, sf_dir: str,
+                         every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: pcm16 payloads are framed into
+    ``FRAME_BYTES``-byte frames (meta.n_frames of them), every ``every``-th
+    frame is kept, and each sampled frame emits one output row with a
+    deterministic checksum — the row-expansion (posexplode analog) happens
+    inside the Arrow batch, so no per-row Python and no JVM round-trip
+    between decode and sample."""
+    import numpy as np
+    import pandas as pd
+
+    m = media_table(spark, sf_dir).filter(F.col("meta.codec") == "pcm16")
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            doc_ids, idxs, checks = [], [], []
+            for did, p, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                n_frames = int(meta["n_frames"])
+                if n_frames <= 0:
+                    continue
+                buf = np.frombuffer(p[:n_frames * FRAME_BYTES], dtype=np.uint8)
+                frames = buf.reshape(n_frames, FRAME_BYTES)[::every]
+                doc_ids.extend([did] * len(frames))
+                idxs.extend(range(0, n_frames, every))
+                checks.extend(frames.sum(axis=1, dtype=np.int64).tolist())
+            yield pd.DataFrame({"doc_id": doc_ids, "frame_idx": idxs,
+                                "checksum": checks})
+
+    return m.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, checksum bigint")
+
+
 ORACLES: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'rgb8' END AS codec,
@@ -101,4 +172,6 @@ QUERIES = {
 
 ROWS_ONLY_QUERIES = {
     "x_media_features": x_media_features,
+    "x_media_resize": x_media_resize,
+    "x_media_frame_sample": x_media_frame_sample,
 }
