@@ -38,17 +38,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("emb"))
 
 
+def _l2(col) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _emb_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the L2 norm hoisted to a per-vector column: computed
+    once per vector BEFORE any pairwise join, instead of twice per pair.
+    Same fold, same operand order — bitwise-identical sims, ~3x less HOF
+    work on the pair side (the dominant cost of all-pairs similarity)."""
+    return _emb(spark, sf_dir).withColumn("l2", _l2(F.col("emb")))
+
+
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id, label, sim) for all queries x corpus."""
-    e = _emb(spark, sf_dir)
+    e = _emb_n(spark, sf_dir)
     q = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
-          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
+          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                  F.col("l2").alias("ql2")))
     dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-             .withColumn("sim", F.round(dot / (nrm(F.col("emb")) * nrm(F.col("qemb"))), 9))
+             .withColumn("sim", F.round(dot / (F.col("l2") * F.col("ql2")), 9))
              .select("query_id", "vec_id", "label", "sim"))
 
 
@@ -96,16 +108,15 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the exactness baseline the LSH path is checked against;
     at 10^9 vectors the candidate generation flips to the sign-LSH buckets
     of :func:`x_emb_ann_lsh`."""
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    e = _emb_n(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
+                 F.col("l2").alias("l2_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
+                 F.col("l2").alias("l2_b"))
     dot = F.aggregate(F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-             .withColumn("sim", F.round(dot / (nrm(F.col("emb_a"))
-                                               * nrm(F.col("emb_b"))), 9))
+             .withColumn("sim", F.round(dot / (F.col("l2_a") * F.col("l2_b")), 9))
              .filter(F.col("sim") >= NEAR_DUP_TAU)
              .select("id_a", "id_b", "sim"))
 
@@ -126,7 +137,7 @@ def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
     rng = np.random.RandomState(42)
     planes = rng.standard_normal((n_tables, n_bits, 64)).round(6)
 
-    e = _emb(spark, sf_dir)
+    e = _emb_n(spark, sf_dir)
 
     def bucket_col(t: int):
         bits = []
@@ -138,23 +149,21 @@ def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
         return sum(bits).cast("int")
 
     hashed = e.select(
-        "vec_id", "label", "emb",
+        "vec_id", "label", "emb", "l2",
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("table"), bucket_col(t).alias("bucket"))
             for t in range(n_tables)])).alias("tb"))
     q = (hashed.filter(F.col("vec_id").isin(*QUERY_IDS))
          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
-                 F.col("tb").alias("qtb")))
+                 F.col("l2").alias("ql2"), F.col("tb").alias("qtb")))
     cand = (hashed.join(q, (F.col("tb") == F.col("qtb"))
                         & (F.col("vec_id") != F.col("query_id")))
-            .select("query_id", "vec_id", "emb", "qemb").distinct())
+            .select("query_id", "vec_id", "emb", "l2", "qemb", "ql2")
+            .distinct())
     dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (cand.withColumn("sim", F.round(dot / (nrm(F.col("emb"))
-                                                  * nrm(F.col("qemb"))), 9))
+    return (cand.withColumn("sim", F.round(dot / (F.col("l2") * F.col("ql2")), 9))
                 .select("query_id", "vec_id", "sim")
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= TOP_K))
@@ -179,7 +188,7 @@ def x_emb_ann_ivf(spark: SparkSession, sf_dir: str,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    e = _emb(spark, sf_dir)
+    e = _emb_n(spark, sf_dir)
 
     # --- train the codebook (driver-side numpy, seeded: stable across runs)
     samp = (e.orderBy("vec_id").limit(2048).select("emb").collect())
@@ -217,18 +226,16 @@ def x_emb_ann_ivf(spark: SparkSession, sf_dir: str,
             probes.append((int(r["vec_id"]), int(cidx)))
     probe_df = spark.createDataFrame(probes, "query_id bigint, cell int")
     q = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
-          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")))
+          .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                  F.col("l2").alias("ql2")))
 
     cand = (cells.join(F.broadcast(probe_df), "cell")
                  .filter(F.col("vec_id") != F.col("query_id"))
                  .join(F.broadcast(q), "query_id"))
     dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (cand.withColumn("sim", F.round(dot / (nrm(F.col("emb"))
-                                                  * nrm(F.col("qemb"))), 9))
+    return (cand.withColumn("sim", F.round(dot / (F.col("l2") * F.col("ql2")), 9))
                 .select("query_id", "vec_id", "sim")
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= TOP_K))
