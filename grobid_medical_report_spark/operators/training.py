@@ -3,11 +3,23 @@
 The reference's ``createTraining*`` paths (FullMedicalTextParser.
 createTraining:1232, segmenter createTrainingMedicalSegmentation:1122-1252)
 emit paired files per model: a featurized raw file and a pre-annotated
-label file, used by the Wapiti trainers (MedicalReportSegmenterTrainer.
-addFeaturesMedical:70-120). Here both halves are columns of ONE table —
-per-line features (the F2 line-feature subset that drives the segmenter)
-next to the model's label — written ``partitionBy("model")`` so each model's
-training set is one partition subtree.
+label file — pre-annotated BY THE CURRENT MODELS, for human correction.
+Here both halves are columns of ONE table — per-line features (the F2
+line-feature subset that drives the segmenter) next to the model's label —
+written ``partitionBy("model")`` so each model's training set is one
+partition subtree. Models emitted (the reference's trainer set,
+build.gradle:192-338):
+
+* ``medical-report-segmenter``  — one row per line, zone label;
+* ``full-medical-text``         — one row per body line, structure label;
+* ``header-medical-report``     — one row per header-zone line, field label
+                                  (the cascade order mirrors
+                                  header.parse_header_zone — consistency is
+                                  asserted in tests/test_training.py);
+* ``left-note-medical-report``  — one row per leftnote-zone line;
+* ``fr-medical-ner``            — one row per TOKEN of body paragraphs with
+                                  a BIO label derived from the NER char
+                                  spans (``tok_idx`` carries the position).
 
 Feature semantics mirror SURVEY.md F2: uppercase profile, punctuation,
 digit content, position bins, repetition counts (F3), length bins.
@@ -21,14 +33,89 @@ from pyspark.sql import DataFrame
 
 from ..functions.textnorm import normalize_space, punctuation_profile
 from ..operators.body import label_body_line
-from ..operators.segmenter import segment_doc
+from ..operators.header import RE_MEDIC_SPLIT
+from ..operators.ner import extract_entities
+from ..operators.segmenter import (RE_AGE, RE_BIRTH, RE_DATELINE, RE_DOCNUM,
+                                   RE_DOCTYPE, RE_FAX, RE_IDNO, RE_MEDIC_LINE,
+                                   RE_PADDR, RE_PATIENT_NAME, RE_POLE,
+                                   RE_POSTCODE, RE_SERVICE, RE_STAFF_NAME,
+                                   RE_STAFF_ORG_PHONE, RE_STAFF_ROLE,
+                                   RE_STAFF_ROLE_NAME, RE_STREET, RE_TEL,
+                                   segment_doc)
 
 TRAINING_SCHEMA = (
-    "model string, doc_id string, line_idx int, text string, label string, "
+    "model string, doc_id string, line_idx int, tok_idx int, text string, "
+    "label string, "
     "features struct<n_chars:int,n_tokens:int,upper_ratio:double,"
     "digit_ratio:double,punct_profile:string,ends_colon:boolean,"
     "starts_dash:boolean,rel_pos_bin:int,repeat_count:int,is_media:boolean>"
 )
+
+TRAINING_MODELS = ("medical-report-segmenter", "full-medical-text",
+                   "header-medical-report", "left-note-medical-report",
+                   "fr-medical-ner")
+
+
+def label_header_line(t: str) -> str:
+    """Field label of one header-zone line — same regexes, same cascade
+    order as header.parse_header_zone (the pre-annotation the reference's
+    createTraining writes for correction)."""
+    if RE_DOCNUM.fullmatch(t):
+        return "docnum"
+    if RE_DATELINE.fullmatch(t):
+        return "dateline"
+    if RE_MEDIC_SPLIT.fullmatch(t) and RE_MEDIC_LINE.fullmatch(t):
+        return "medic"
+    if RE_IDNO.fullmatch(t):
+        return "idno"
+    if RE_PATIENT_NAME.fullmatch(t):
+        return "patient"
+    if RE_BIRTH.fullmatch(t):
+        return "birthdate"
+    if RE_AGE.fullmatch(t):
+        return "age"
+    if RE_PADDR.fullmatch(t):
+        return "patient_address"
+    if RE_DOCTYPE.fullmatch(t):
+        return "doctype"
+    return "note"
+
+
+def label_leftnote_line(t: str) -> str:
+    """Field label of one leftnote-zone line — mirrors
+    leftnote.parse_leftnote_zone."""
+    if RE_POLE.fullmatch(t) or RE_SERVICE.fullmatch(t):
+        return "org"
+    if RE_TEL.fullmatch(t):
+        return "phone"
+    if RE_FAX.fullmatch(t):
+        return "fax"
+    if (RE_STAFF_ORG_PHONE.fullmatch(t) or RE_STAFF_ROLE_NAME.fullmatch(t)
+            or RE_STAFF_NAME.fullmatch(t) or RE_STAFF_ROLE.fullmatch(t)):
+        return "medic"
+    if RE_POSTCODE.fullmatch(t) or RE_STREET.fullmatch(t):
+        return "address"
+    return "note"
+
+
+def bio_labels(t: str) -> list[tuple[str, str]]:
+    """(token, BIO-label) pairs for one paragraph line: whitespace tokens,
+    labeled by the NER entity covering the token's start char."""
+    ents = extract_entities(t)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for tok in t.split(" "):
+        start = pos
+        pos += len(tok) + 1
+        if not tok:
+            continue
+        label = "O"
+        for e in ents:
+            if e["start"] <= start < e["end"]:
+                label = ("B-" if start == e["start"] else "I-") + e["type"]
+                break
+        out.append((tok, label))
+    return out
 
 
 def _featurize_line(t: str, i: int, n: int, counts: dict[str, int],
@@ -69,17 +156,38 @@ def _training_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
             for i, (t, z) in enumerate(zip(texts, zones)):
                 feats = _featurize_line(t, i, n, counts, bool(is_media[i]))
                 out.append({"model": "medical-report-segmenter",
-                            "doc_id": doc_id, "line_idx": i, "text": t,
-                            "label": z, "features": feats})
-                if z == "body":
+                            "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
+                            "text": t, "label": z, "features": feats})
+                if z == "header":
+                    out.append({"model": "header-medical-report",
+                                "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
+                                "text": t, "label": label_header_line(t),
+                                "features": feats})
+                elif z == "leftnote":
+                    out.append({"model": "left-note-medical-report",
+                                "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
+                                "text": t, "label": label_leftnote_line(t),
+                                "features": feats})
+                elif z == "body":
                     prev_media = bool(i > 0 and is_media[i - 1]
                                       and zones[i - 1] == "body")
                     fine = label_body_line(t, bool(is_media[i]), prev_media)
                     out.append({"model": "full-medical-text",
-                                "doc_id": doc_id, "line_idx": i, "text": t,
-                                "label": fine, "features": feats})
+                                "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
+                                "text": t, "label": fine, "features": feats})
+                    if fine == "paragraph":
+                        toks = bio_labels(t)
+                        nt = len(toks)
+                        for ti, (tok, lab) in enumerate(toks):
+                            out.append({
+                                "model": "fr-medical-ner", "doc_id": doc_id,
+                                "line_idx": i, "tok_idx": ti, "text": tok,
+                                "label": lab,
+                                "features": _featurize_line(tok, ti, nt, {},
+                                                            False)})
         yield pd.DataFrame(out, columns=["model", "doc_id", "line_idx",
-                                         "text", "label", "features"])
+                                         "tok_idx", "text", "label",
+                                         "features"])
 
 
 def training_data(df: DataFrame) -> DataFrame:

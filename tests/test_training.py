@@ -44,8 +44,73 @@ def test_features_sane():
 
 
 def test_write_partitioned_by_model(spark, tmp_path):
+    from grobid_medical_report_spark.operators.training import TRAINING_MODELS
     out = str(tmp_path / "train")
     write_training_data(corpus_df(spark, 8), out)
     got = spark.read.parquet(out)
     assert {r["model"] for r in got.select("model").distinct().collect()} == \
-        {"medical-report-segmenter", "full-medical-text"}
+        set(TRAINING_MODELS)
+
+
+def test_header_labels_consistent_with_parser():
+    """The training labeler and the production header parser must agree:
+    a line labeled `docnum`/`dateline`/`medic`/`patient` must surface in the
+    corresponding parsed field — drift between the two cascades fails here."""
+    from grobid_medical_report_spark.functions.textnorm import normalize_space
+    from grobid_medical_report_spark.operators.header import parse_header_zone
+    from grobid_medical_report_spark.operators.training import \
+        label_header_line
+
+    checked = 0
+    for d in expected_docs(40):
+        doc = generate_doc(int(d["doc_id"].split("_")[1]))
+        header_lines = [normalize_space(s["text"]) for s, lab in
+                        zip(sorted(doc["spans"], key=lambda s: s["offset"]),
+                            d["line_labels"])
+                        if ZONE_OF[lab] == "header"]
+        if not header_lines:
+            continue
+        parsed = parse_header_zone(header_lines)
+        for t in header_lines:
+            lab = label_header_line(t)
+            if lab == "docnum":
+                assert t.split("°", 1)[1].strip() in parsed["header"]["docnum"]
+            elif lab == "dateline":
+                assert t in parsed["header"]["dateline"]
+            elif lab == "medic":
+                assert any(m["persname"] in t for m in parsed["medics"])
+            elif lab == "patient":
+                assert any(t == p for p in parsed["header"]["patients"])
+            checked += 1
+    assert checked > 50
+
+
+def test_ner_bio_roundtrip():
+    """BIO token labels must reconstruct the entity surfaces: for every
+    entity whose boundaries align to whitespace tokens, joining its B-/I-
+    tokens yields the entity text."""
+    from grobid_medical_report_spark.operators.ner import extract_entities
+    from grobid_medical_report_spark.operators.training import bio_labels
+
+    texts = [
+        "Patiente admise pour pneumopathie. Traitement par Daptomycine "
+        "1500 mg et surveillance.",
+        "Madame Anne ROUX opérée le 13/03/1992 par Docteur Paul MARTIN.",
+    ]
+    for t in texts:
+        toks = bio_labels(t)
+        ents = extract_entities(t)
+        assert any(lab != "O" for _, lab in toks)
+        # recompute the same token offsets and check label-per-offset
+        offsets, pos = [], 0
+        for tok in t.split(" "):
+            offsets.append(pos)
+            pos += len(tok) + 1
+        by_start = dict(zip(offsets, toks))
+        for e in ents:
+            for start, (tok, lab) in by_start.items():
+                if e["start"] <= start < e["end"]:
+                    want = ("B-" if start == e["start"] else "I-") + e["type"]
+                    assert lab == want, (e, tok, lab, want)
+            # the entity start must align to a token start (B- anchor exists)
+            assert by_start[e["start"]][1] == "B-" + e["type"]
