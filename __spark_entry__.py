@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 from grobid_medical_report_spark.corpus import corpus_df
 from grobid_medical_report_spark.operators import (dedup, events, multimodal,
                                                    relational, relational2,
-                                                   relational3, similarity,
-                                                   sketches, strings, temporal,
+                                                   relational3, relational4,
+                                                   similarity, sketches,
+                                                   strings, temporal,
                                                    textstats)
 from grobid_medical_report_spark.plans.pipeline import (extract,
                                                         render_tei_df,
@@ -128,7 +129,8 @@ def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("z.order").alias("zone_order")))
 
 
-_MODULES = (relational, relational2, relational3, events, textstats, dedup,
+_MODULES = (relational, relational2, relational3, relational4, events,
+            textstats, dedup,
             similarity, strings, temporal, multimodal)
 
 

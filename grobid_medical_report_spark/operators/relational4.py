@@ -1,0 +1,254 @@
+"""TPC-H-adapted relational coverage, part 4: the five remaining canonical
+shapes (Q11, Q12, Q16, Q20, Q21), adapted to the testdata's column subset —
+lineitem serves as the part↔supplier bridge (no partsupp table) and
+ship-delay vs o_orderdate replaces the ship/commit/receipt-date triple.
+
+Why each shape matters at 100 TB:
+
+- value-fraction HAVING (Q11)       -> scalar aggregate broadcast into a
+                                       post-agg filter; the fact table is
+                                       scanned once, never re-joined
+- delay-bucket conditional agg (Q12)-> single fact pass, CASE-WHEN sums;
+                                       the orders join carries only the two
+                                       columns the predicate needs
+- distinct-supplier count (Q16)     -> anti-join (broadcast: excluded
+                                       suppliers are tiny) before the
+                                       count-distinct shuffle, so excluded
+                                       rows never enter the exchange
+- half-over-total semi-join (Q20)   -> per-supplier conditional agg, then a
+                                       broadcast semi-join back to the dim;
+                                       no correlated subquery re-scan
+- sole-late-supplier (Q21)          -> the classic EXISTS/NOT-EXISTS pair
+                                       re-expressed as ONE groupBy with two
+                                       count-distincts + a join-back;
+                                       replaces two self-joins of the fact
+                                       table with a single shuffle
+
+Reference context: the reference engine has no relational joins at all
+(SURVEY.md §2.6); these document the host engine's general query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supply value restricted to suppliers of
+    the lower half of nations (stable across SF tiers, unlike a single
+    nation name), keeping parts whose value exceeds 1.4x the average part
+    value — the scale-invariant form of Q11's value-fraction cutoff. The
+    scalar is computed from the SAME aggregated frame (no second fact scan)
+    and broadcast into the filter."""
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13) \
+        .select("n_nationkey")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"),
+               "left_semi")
+         .select("s_suppkey"))
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice", "l_discount")
+    val = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "left_semi")
+            .groupBy("l_partkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("v")))
+    total = val.agg(F.avg("v").alias("avg_v"))
+    return (val.join(F.broadcast(total))
+               .filter(F.col("v") > F.col("avg_v") * 1.4)
+               .select("l_partkey", F.round("v", 2).alias("part_value"))
+               .orderBy(F.desc("part_value"), "l_partkey"))
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-aggregation counts of high- vs
+    low-priority orders per ship-delay bucket (the testdata has no
+    l_shipmode; delay class replaces it). One fact pass; orders contributes
+    only (key, date, priority)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate") \
+        .filter((F.col("l_shipdate") >= "1996-01-01") &
+                (F.col("l_shipdate") < "1997-01-01"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (joined.withColumn("ship_delay_class",
+                              F.when(delay <= 30, "FAST")
+                               .when(delay <= 90, "REGULAR")
+                               .otherwise("SLOW"))
+                  .groupBy("ship_delay_class")
+                  .agg(F.sum(F.when(hi, 1).otherwise(0))
+                        .alias("high_line_count"),
+                       F.sum(F.when(hi, 0).otherwise(1))
+                        .alias("low_line_count")))
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) combination — lineitem as the part↔supplier bridge,
+    Brand#1/PROMO excluded on the part side, negative-balance suppliers
+    anti-joined out (the 'customer complaints' analog) BEFORE the
+    count-distinct shuffle."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO") &
+        F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (l.join(F.broadcast(bad_supp), l.l_suppkey == bad_supp.s_suppkey,
+                   "left_anti")
+             .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+             .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 shipments of '%widget%' parts
+    exceed 18% of their all-time shipments of those parts (the
+    availqty-vs-half-of-shipped test re-expressed without partsupp; the
+    testdata's 1995-2001 date spread makes 0.18 the discriminating line).
+    Per-supplier conditional agg -> filter -> broadcast semi-join back to
+    the supplier dim (+ nation name); zero correlated re-scans."""
+    widget = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_quantity", "l_shipdate")
+    qty = (l.join(F.broadcast(widget), l.l_partkey == widget.p_partkey,
+                  "left_semi")
+            .groupBy("l_suppkey")
+            .agg(F.sum(F.when((F.col("l_shipdate") >= "1996-01-01") &
+                              (F.col("l_shipdate") < "1997-01-01"),
+                              F.col("l_quantity")).otherwise(0.0))
+                  .alias("qty_1996"),
+                 F.sum("l_quantity").alias("qty_total"))
+            .filter(F.col("qty_1996") > 0.18 * F.col("qty_total")))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (s.join(F.broadcast(qty.select("l_suppkey")),
+                   s.s_suppkey == F.col("l_suppkey"), "left_semi")
+             .select("s_suppkey", "s_name", "n_name")
+             .orderBy("s_suppkey"))
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order (late = shipped >60 days after the order
+    date; no receipt/commit dates in the testdata). The EXISTS/NOT-EXISTS
+    pair over the fact table becomes one groupBy(orderkey) with two
+    count-distincts plus a join-back — one shuffle instead of two
+    self-joins."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    l = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_suppkey", "l_shipdate")
+         .join(o, F.col("l_orderkey") == o.o_orderkey)
+         .withColumn("late", F.datediff("l_shipdate", "o_orderdate") > 60)
+         .select("l_orderkey", "l_suppkey", "late"))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+         .alias("nlate"))
+    late_pairs = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    sole_late = (late_pairs
+                 .join(per_order.filter((F.col("nsupp") > 1) &
+                                        (F.col("nlate") == 1)),
+                       "l_orderkey", "left_semi"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole_late.join(F.broadcast(s),
+                           sole_late.l_suppkey == s.s_suppkey)
+                     .groupBy("s_name")
+                     .agg(F.count(F.lit(1)).alias("numwait"))
+                     .orderBy(F.desc("numwait"), "s_name")
+                     .limit(20))
+
+
+ORACLES: dict[str, str] = {
+    "q11_important_parts": """
+        WITH val AS (
+          SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                              JOIN nation ON s_nationkey = n_nationkey
+                              WHERE n_nationkey < 13)
+          GROUP BY l_partkey)
+        SELECT l_partkey, round(v, 2) AS part_value
+        FROM val
+        WHERE v > (SELECT avg(v) FROM val) * 1.4
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "q12_shipping_delay": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 'FAST'
+                    WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                    THEN 'REGULAR' ELSE 'SLOW' END AS ship_delay_class,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY 1
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_promotion_suppliers": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+            GROUP BY l_suppkey
+            HAVING sum(CASE WHEN l_shipdate >= '1996-01-01'
+                             AND l_shipdate < '1997-01-01'
+                            THEN l_quantity ELSE 0 END)
+                   > 0.18 * sum(l_quantity))
+        ORDER BY s_suppkey
+    """,
+    "q21_waiting_suppliers": """
+        WITH l2 AS (
+          SELECT l_orderkey, l_suppkey,
+                 date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS nsupp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+          FROM l2 GROUP BY l_orderkey)
+        SELECT s_name, count(*) AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l2 WHERE late) x
+          JOIN per_order USING (l_orderkey)
+          JOIN supplier ON l_suppkey = s_suppkey
+        WHERE nsupp > 1 AND nlate = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "q11_important_parts": q11_important_parts,
+    "q12_shipping_delay": q12_shipping_delay,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+}
