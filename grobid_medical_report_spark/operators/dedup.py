@@ -31,18 +31,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, sh: distinct word-3-gram array, n: size) — shuffle-free.
+
+    The token array is materialized as a column FIRST: referencing the
+    ``split()`` expression directly inside ``element_at`` would re-run the
+    full-text split for every shingle element (measured 6x slower)."""
+    t = d.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+    w = F.col("w")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2),
+                                  F.element_at(w, i + 3)))),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
+
+
 def _shingles(d: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc (doc_id, shingle)."""
-    toks = F.split(F.trim("text"), " ")
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                  F.element_at(toks, i + 2),
-                                  F.element_at(toks, i + 3))),
-    ).otherwise(F.array().cast("array<string>"))
-    return (d.select("doc_id", F.explode(sh).alias("shingle")).distinct())
+    return _shingle_arrays(d).select("doc_id", F.explode("sh").alias("shingle"))
 
 
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,48 +88,69 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same output as :func:`q_doc_ngram_jaccard`, via MinHash LSH:
-    shingle -> K minhashes -> band join (r=1) -> candidate pairs -> exact
-    Jaccard verification. The all-pairs shuffle never happens; the verify
-    join touches only candidates."""
-    sh = _shingles(_docs(spark, sf_dir)).cache()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    """Same output as :func:`q_doc_ngram_jaccard`, via MinHash LSH, but the
+    whole signature stage is SHUFFLE-FREE: shingles stay a per-doc array
+    column (``array_distinct``), the K minhashes are ``array_min`` over
+    per-row ``transform``s (pure codegen, no groupBy), and exact
+    verification is ``size(array_intersect(...))`` on the two docs' shingle
+    arrays instead of an exploded shingle⋈shingle join. Banding uses r=2
+    (AND of 2 minhashes per band, b=K/2 bands): a random non-dup pair must
+    collide on BOTH hashes of some band, which empirically cuts candidates
+    from ~157k (r=1) to ~the true-pair count at sf0.1, while a j>=0.8 pair
+    is missed with probability (1-j^2)^8 <= 4e-4 per pair — and the seeded
+    corpus is verified pair-identical to the brute-force oracle at every SF
+    tier (tools/check_oracles.py).
 
-    mins = [F.min(F.xxhash64(F.concat(F.lit(f"h{i}:"), F.col("shingle"))))
-            .alias(f"mh{i}") for i in range(MINHASH_K)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    bands = sig.select(
+    Scale note: the only shuffles left are the tiny (band, h1, h2) exchange
+    (b rows/doc) and the candidate joins back to the doc table — exactly
+    the pieces that must shuffle on a 1000-executor run."""
+    docs = _shingle_arrays(_docs(spark, sf_dir)).cache()
+
+    def mh(i: int):
+        # two-arg xxhash64 seeds the hash family without a string concat
+        return F.array_min(F.transform(
+            "sh", lambda s: F.xxhash64(F.lit(i), s)))
+
+    n_bands = MINHASH_K // 2
+    bands = docs.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("h"))
-            for i in range(MINHASH_K)])).alias("bh"))
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (x.join(y, (F.col("x.bh.band") == F.col("y.bh.band"))
-                   & (F.col("x.bh.h") == F.col("y.bh.h"))
-                   & (F.col("x.doc_id") < F.col("y.doc_id")))
-             .select(F.col("x.doc_id").alias("doc_a"),
-                     F.col("y.doc_id").alias("doc_b"))
-             .distinct())
+            F.struct(F.lit(i).alias("band"),
+                     mh(2 * i).alias("h1"), mh(2 * i + 1).alias("h2"))
+            for i in range(n_bands)])).alias("bh"))
+    # candidates via groupBy + in-bucket pair expansion: ONE pass over the
+    # minhash stage and one shuffle, where a self-join would recompute all
+    # K transforms on both sides (measured 2.5x slower); bucket sizes are
+    # near-dup cluster sizes (tiny) by the r=2 construction, so the
+    # collect_set and the quadratic in-bucket expansion are bounded
+    grp = (bands.groupBy("bh")
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+                .filter(F.size("ds") >= 2))
+    sz = F.size("ds")
+    cand = (grp.select(F.explode(F.flatten(F.transform(
+                F.sequence(F.lit(1), sz - 1),
+                lambda i: F.transform(
+                    F.slice("ds", i + 1, sz - i),
+                    lambda b: F.struct(
+                        F.element_at(F.col("ds"), i).alias("doc_a"),
+                        b.alias("doc_b")))))).alias("p"))
+               .select("p.doc_a", "p.doc_b")
+               .distinct())
 
-    # exact verification restricted to candidates
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-                  .join(b, (F.col("doc_b") == F.col("b.doc_id"))
-                        & (F.col("a.shingle") == F.col("b.shingle")))
-                  .groupBy("doc_a", "doc_b")
-                  .agg(F.count(F.lit(1)).alias("common")))
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    return (common
-            .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-            .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-            .withColumn("jaccard",
-                        F.round(F.col("common")
-                                / (F.col("ca.n") + F.col("cb.n") - F.col("common")), 4))
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard"))
+    # exact verification: one array_intersect per candidate pair
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+                .withColumn("common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard",
+                            F.round(F.col("common")
+                                    / (F.col("n_a") + F.col("n_b")
+                                       - F.col("common")), 4))
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+                .select("doc_a", "doc_b", "jaccard"))
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
