@@ -133,33 +133,44 @@ def x_emb_ann_lsh(spark: SparkSession, sf_dir: str,
     tunable via (bits, tables) and measured in tests/test_similarity_ann.py.
     Approximate by design => rows-only (no SQL oracle can reproduce it)."""
     import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
 
     rng = np.random.RandomState(42)
-    planes = rng.standard_normal((n_tables, n_bits, 64)).round(6)
+    # one (dim x n_tables*n_bits) matrix: ALL sign bits in a single matmul
+    planes = rng.standard_normal((n_tables * n_bits, 64)).round(6)
+    bc_planes = spark.sparkContext.broadcast(planes.T.copy())
+    bit_weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def lsh_buckets(emb: pd.Series) -> pd.Series:
+        # (batch, dim) @ (dim, tables*bits) -> sign bits -> per-table codes;
+        # one matmul per Arrow batch — the scale path for 48 projections
+        import numpy as np
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (X @ bc_planes.value) >= 0          # (batch, tables*bits)
+        codes = (bits.reshape(len(X), n_tables, n_bits) * bit_weights) \
+            .sum(axis=2).astype("int32")            # (batch, tables)
+        return pd.Series(list(codes))
 
     e = _emb_n(spark, sf_dir)
-
-    def bucket_col(t: int):
-        bits = []
-        for b in range(n_bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            dot = F.aggregate(F.zip_with("emb", plane, lambda a, p: a * p),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(dot >= 0, 1 << b).otherwise(0))
-        return sum(bits).cast("int")
-
-    hashed = e.select(
-        "vec_id", "label", "emb", "l2",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table"), bucket_col(t).alias("bucket"))
-            for t in range(n_tables)])).alias("tb"))
-    q = (hashed.filter(F.col("vec_id").isin(*QUERY_IDS))
-         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
-                 F.col("l2").alias("ql2"), F.col("tb").alias("qtb")))
-    cand = (hashed.join(q, (F.col("tb") == F.col("qtb"))
-                        & (F.col("vec_id") != F.col("query_id")))
-            .select("query_id", "vec_id", "emb", "l2", "qemb", "ql2")
-            .distinct())
+    hashed = (e.withColumn("buckets", lsh_buckets("emb"))
+               .select("vec_id", "emb", "l2",
+                       F.posexplode("buckets").alias("table", "bucket")))
+    # candidate ids only — keep the wide emb arrays OUT of the
+    # bucket-collision join and the distinct
+    qids = (hashed.filter(F.col("vec_id").isin(*QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "table", "bucket"))
+    cand_ids = (hashed.select("vec_id", "table", "bucket")
+                .join(F.broadcast(qids), ["table", "bucket"])
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id")
+                .distinct())
+    q = (e.filter(F.col("vec_id").isin(*QUERY_IDS))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("emb").alias("qemb"), F.col("l2").alias("ql2")))
+    cand = (cand_ids.join(e.select("vec_id", "emb", "l2"), "vec_id")
+                    .join(F.broadcast(q), "query_id"))
     dot = F.aggregate(F.zip_with("emb", "qemb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
