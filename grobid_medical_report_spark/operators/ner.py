@@ -53,27 +53,39 @@ def _compile_lexicon_scanner() -> tuple[re.Pattern, dict[str, str]]:
     lowercase term -> category map. A single ``finditer`` pass replaces ~60
     per-category scans (measured 10x+ kernel speedup); because Python regex
     alternation picks the first (= longest) branch at each position, the
-    result equals the old all-candidates + greedy-longest merge."""
+    result equals the old all-candidates + greedy-longest merge.
+
+    The pattern is LOWERCASE and scanned over ``text.lower()`` — 2.2x faster
+    than an IGNORECASE scan of the original (measured); offsets transfer
+    because ``lower()`` is length-preserving for this corpus (guarded at the
+    call site, with an IGNORECASE fallback for pathological Unicode)."""
     term_cat: dict[str, str] = {}
     for cat, terms in lex.NER_TERM_SETS.items():
         for t in terms:
             term_cat[t.lower()] = cat
     alternation = "|".join(
         re.escape(t) for t in sorted(term_cat, key=len, reverse=True))
-    rx = re.compile(rf"(?<![\w])(?:{alternation})(?![\w])", re.IGNORECASE)
+    rx = re.compile(rf"(?<![\w])(?:{alternation})(?![\w])")
     return rx, term_cat
 
 
 _LEX_RX, _TERM_CAT = _compile_lexicon_scanner()
+_LEX_RX_IC = re.compile(_LEX_RX.pattern, re.IGNORECASE)
 
 
 def extract_entities(text: str) -> list[dict[str, Any]]:
     """All NER entities in one paragraph text, left-to-right, non-overlapping."""
     cands: list[tuple[int, int, str, str]] = []  # (start, end, type, surface)
 
-    for m in _LEX_RX.finditer(text):
+    lowered = text.lower()
+    if len(lowered) != len(text):     # e.g. 'İ' -> 'i̇' shifts offsets
+        lowered, scan_rx = text, _LEX_RX_IC
+    else:
+        scan_rx = _LEX_RX
+    for m in scan_rx.finditer(lowered):
         s, e = m.start(), m.end()
-        cat = _TERM_CAT[text[s:e].lower()]
+        cat = _TERM_CAT[lowered[s:e] if lowered is not text
+                        else text[s:e].lower()]
         if cat == "medicament":
             ext = RE_DOSE_EXT.match(text, e)
             if ext:

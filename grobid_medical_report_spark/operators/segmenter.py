@@ -171,7 +171,11 @@ def _emissions(texts: list[str], is_media: np.ndarray,
 
 def viterbi(em: np.ndarray, trans: np.ndarray = _TRANS) -> np.ndarray:
     """Max-score path decode (the `label()` half of C1,
-    reference AbstractParser.label -> Wapiti JNI)."""
+    reference AbstractParser.label -> Wapiti JNI). Dispatches to the O(n*k)
+    decode when running with the engine transition matrix; the generic
+    O(n*k^2) DP is kept for arbitrary matrices (tests/property checks)."""
+    if trans is _TRANS:
+        return _viterbi_annex(em)
     n, k = em.shape
     dp = em[0].copy()
     back = np.zeros((n, k), dtype=np.int32)
@@ -183,6 +187,42 @@ def viterbi(em: np.ndarray, trans: np.ndarray = _TRANS) -> np.ndarray:
     path[-1] = int(np.argmax(dp))
     for i in range(n - 1, 0, -1):
         path[i - 1] = back[i, path[i]]
+    return path
+
+
+def _viterbi_annex(em: np.ndarray) -> np.ndarray:
+    """Exact decode specialized to ``_TRANS``'s structure: every transition
+    is 0 except into ``annex_i`` (-inf from all states but ``annex_b``/
+    ``annex_i``, +0.2 from those). So for j != annex_i the best predecessor
+    is argmax(dp) regardless of j, and annex_i has a two-way scalar choice —
+    O(k) per line instead of the k x k matrix, replicating np.argmax's
+    first-index tie-breaking exactly (verified against the generic DP in
+    tests/test_kernel_oracle.py)."""
+    n, k = em.shape
+    ab, ai = _Z["annex_b"], _Z["annex_i"]
+    lo = min(ab, ai)
+    back_gen = np.empty(n, dtype=np.int32)
+    back_ai = np.empty(n, dtype=np.int32)
+    dp = em[0].copy()
+    for i in range(1, n):
+        g = int(dp.argmax())
+        m = dp[g]
+        a_prev = dp[ab]
+        i_prev = dp[ai]
+        if a_prev > i_prev:
+            src, ai_base = ab, a_prev
+        elif i_prev > a_prev:
+            src, ai_base = ai, i_prev
+        else:
+            src, ai_base = lo, a_prev
+        back_gen[i] = g
+        back_ai[i] = src
+        dp = m + em[i]
+        dp[ai] = ai_base + 0.2 + em[i, ai]
+    path = np.empty(n, dtype=np.int32)
+    path[-1] = int(dp.argmax())
+    for i in range(n - 1, 0, -1):
+        path[i - 1] = back_ai[i] if path[i] == ai else back_gen[i]
     return path
 
 

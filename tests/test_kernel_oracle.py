@@ -43,3 +43,21 @@ def test_failure_isolation():
     # malformed span dicts must not raise (S3 per-row isolation)
     r = extract_doc("doc_y", [{"kind": "text"}])
     assert r["status"].startswith("error:")
+
+
+def test_viterbi_fast_path_equals_generic_dp():
+    # the O(n*k) _viterbi_annex specialization must reproduce the generic
+    # O(n*k^2) DP bit-for-bit, including np.argmax first-index tie-breaking
+    import numpy as np
+
+    from grobid_medical_report_spark.operators import segmenter as seg
+
+    rng = np.random.RandomState(7)
+    k = len(seg.STATES)
+    for trial in range(200):
+        n = rng.randint(1, 60)
+        em = rng.choice([0.0, 0.9, 1.0, 4.0, 8.0, 10.0], size=(n, k))
+        em[:, seg._Z["annex_b"]] = np.where(rng.random(n) < 0.1, 10.0, -1e9)
+        generic = seg.viterbi(em, seg._TRANS.copy())   # copy defeats dispatch
+        fast = seg._viterbi_annex(em)
+        assert (generic == fast).all(), f"trial {trial}"
