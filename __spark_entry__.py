@@ -16,12 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grobid_medical_report_spark.corpus import corpus_df
-from grobid_medical_report_spark.operators import (dedup, events, multimodal,
-                                                   relational, relational2,
-                                                   relational3, relational4,
-                                                   similarity, sketches,
-                                                   strings, temporal,
-                                                   textstats)
+from grobid_medical_report_spark.operators import (curation, dedup, events,
+                                                   multimodal, relational,
+                                                   relational2, relational3,
+                                                   relational4, similarity,
+                                                   sketches, strings,
+                                                   temporal, textstats)
 from grobid_medical_report_spark.plans.pipeline import (extract,
                                                         render_tei_df,
                                                         result_spans)
@@ -130,7 +130,7 @@ def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MODULES = (relational, relational2, relational3, relational4, events,
-            textstats, dedup,
+            textstats, dedup, curation,
             similarity, strings, temporal, multimodal)
 
 

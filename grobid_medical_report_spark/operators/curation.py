@@ -1,0 +1,168 @@
+"""Corpus-curation operators for a training-data pipeline: vocabulary
+building, inverse-document-frequency term weighting, deterministic
+stratified sampling, and per-stratum quality top-k.
+
+Scale shapes (the reason these exist as first-class operators):
+
+- vocabulary build      -> the classic heavy-shuffle word count: explode +
+                           two-level aggregate (term x doc -> term), top-k
+                           at the end so only the head leaves the cluster;
+- tf-idf top terms      -> per-doc term frequencies joined against the
+                           (small, broadcastable) document-frequency head;
+                           the weighting is integer-scaled (tf*1e6/df with
+                           integer division) so Spark and DuckDB agree
+                           EXACTLY — no float-log rounding at tie edges;
+- stratified sample     -> deterministic modulo-based rates per stratum
+                           (a broadcast rates dim), the reproducible analog
+                           of df.sampleBy: same rows on every run, every
+                           engine, any partitioning;
+- quality top-k/stratum -> WindowGroupLimit per language: only each
+                           partition's local top-k reaches the shuffle.
+
+Reference context: the reference has no corpus-level operators (it is a
+per-document engine, SURVEY.md §2.5 "distinct/grouping: absent"); these are
+the engine-side additions the 100 TB training-data mandate asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+VOCAB_TOP_K = 100
+TFIDF_DOC_LIMIT = 40          # report terms for the first N docs only
+TOPK_PER_LANG = 20
+
+#: per-language sampling rates (percent), deliberately uneven — the
+#: training-mix knob
+SAMPLE_RATES = {"en": 10, "fr": 50, "de": 30, "es": 20, "zh": 5}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(d: DataFrame) -> DataFrame:
+    """(doc_id, word) with one row per occurrence (not distinct)."""
+    return d.select("doc_id",
+                    F.explode(F.split(F.trim("text"), " ")).alias("word"))
+
+
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 words by total occurrences, with
+    document frequency. Two-level aggregate — (word, doc) partial counts
+    first, so the second shuffle carries one row per distinct pair, and the
+    global sort only ever sees the aggregated vocabulary."""
+    wd = (_words(_docs(spark, sf_dir))
+          .groupBy("word", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return (wd.groupBy("word")
+              .agg(F.sum("tf").alias("occurrences"),
+                   F.count(F.lit(1)).alias("doc_freq"))
+              .orderBy(F.desc("occurrences"), "word")
+              .limit(VOCAB_TOP_K))
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per doc (first 40 docs): tf weighted
+    by integer-scaled inverse document frequency, score = tf * 1_000_000
+    `div` df. The df table is aggregated once and broadcast into the
+    per-doc join; integer arithmetic keeps both engines bit-identical."""
+    d = _docs(spark, sf_dir)
+    words = _words(d)
+    df_tbl = (words.select("doc_id", "word").distinct()
+              .groupBy("word").agg(F.count(F.lit(1)).alias("df")))
+    tf_tbl = (words.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+              .groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    scored = (tf_tbl.join(F.broadcast(df_tbl), "word")
+              .withColumn("score",
+                          F.expr("(tf * CAST(1000000 AS BIGINT)) div df")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("doc_id", "word", "tf", "df", "score", "rank"))
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language percentage rates from a
+    broadcast dim, membership decided by ``doc_id % 100 < rate``. Unlike
+    df.sampleBy this is exactly reproducible across runs, engines, and
+    repartitionings — the property a resumable curation pipeline needs."""
+    rates = spark.createDataFrame(
+        sorted(SAMPLE_RATES.items()), "lang string, rate int")
+    d = _docs(spark, sf_dir)
+    return (d.join(F.broadcast(rates), "lang")
+             .filter(F.col("doc_id") % 100 < F.col("rate"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("sampled_docs"),
+                  F.sum("n_chars").alias("sampled_chars")))
+
+
+def q_doc_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top-20 largest documents per language — the per-stratum
+    quality gate of a training mix. Window row_number per lang: Spark plans
+    a WindowGroupLimit, so each map task forwards at most k rows per lang
+    into the shuffle."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= TOPK_PER_LANG)
+             .select("lang", "doc_id", "n_chars", "rank"))
+
+
+_RATES_SQL = "VALUES " + ", ".join(
+    f"('{lg}', {r})" for lg, r in sorted(SAMPLE_RATES.items()))
+
+ORACLES: dict[str, str] = {
+    "q_doc_vocab_topk": f"""
+        SELECT word, count(*) AS occurrences,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY occurrences DESC, word
+        LIMIT {VOCAB_TOP_K}
+    """,
+    "q_doc_tfidf_top_terms": f"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+          FROM documents),
+        df_tbl AS (
+          SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+        tf_tbl AS (
+          SELECT doc_id, word, count(*) AS tf FROM words
+          WHERE doc_id < {TFIDF_DOC_LIMIT} GROUP BY doc_id, word),
+        scored AS (
+          SELECT doc_id, tf_tbl.word, tf, df, (tf * 1000000) // df AS score
+          FROM tf_tbl JOIN df_tbl ON tf_tbl.word = df_tbl.word)
+        SELECT doc_id, word, tf, df, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, word ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3
+    """,
+    "q_doc_stratified_sample": f"""
+        SELECT lang, count(*) AS sampled_docs, sum(n_chars) AS sampled_chars
+        FROM documents JOIN (SELECT * FROM ({_RATES_SQL}) t(lang, rate))
+          USING (lang)
+        WHERE doc_id % 100 < rate
+        GROUP BY lang
+    """,
+    "q_doc_quality_topk_per_lang": f"""
+        SELECT lang, doc_id, n_chars, rank FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id ASC) AS rank
+          FROM documents)
+        WHERE rank <= {TOPK_PER_LANG}
+    """,
+}
+
+QUERIES = {
+    "q_doc_vocab_topk": q_doc_vocab_topk,
+    "q_doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_quality_topk_per_lang": q_doc_quality_topk_per_lang,
+}
