@@ -465,8 +465,12 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
 
     # oversplit vs cores: the generated corpus is partitioned by doc COUNT
     # (unlike a parquet scan, which is byte-bounded), so smaller tasks
-    # amortize the giant-doc tail across the schedule
-    parts = partitions or spark.sparkContext.defaultParallelism * 3
+    # amortize the giant-doc tail across the schedule — but only once there
+    # are enough docs per task to amortize the per-task Python-stage
+    # round-trip (~25 ms each; a 3x oversplit of a 500-doc corpus measured
+    # 2.5x SLOWER than cores-sized tasks)
+    cores = spark.sparkContext.defaultParallelism
+    parts = partitions or max(cores, min(cores * 3, n_docs // 50))
     rng_df = spark.range(0, n_docs, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
