@@ -233,14 +233,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
                                              "l_extendedprice", "l_quantity")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # integer-scaled unit price: cents*100 div quantity. Rounding the double
+    # quotient to 4 dp flipped last digits between engines (Spark rounds the
+    # shortest decimal repr HALF_UP, DuckDB rounds the scaled double) —
+    # integer arithmetic is exact and identical everywhere.
+    unit_scaled = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)"
+        " div CAST(l_quantity AS BIGINT)")
     offers = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-               .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity")))
-    w = W.partitionBy("p_partkey").orderBy("unit_price", "l_suppkey")
+               .withColumn("unit_price_e4", unit_scaled))
+    w = W.partitionBy("p_partkey").orderBy("unit_price_e4", "l_suppkey")
     return (offers.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
                   .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
                   .select("p_partkey", "p_name", "s_suppkey", "s_name",
-                          F.round("unit_price", 4).alias("best_unit_price")))
+                          "unit_price_e4"))
 
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,14 +383,15 @@ ORACLES: dict[str, str] = {
     "q2_min_cost_supplier": """
         WITH offers AS (
           SELECT p_partkey, p_name, l_suppkey,
-                 l_extendedprice / l_quantity AS unit_price,
+                 (CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                   // CAST(l_quantity AS BIGINT) AS unit_price_e4,
                  row_number() OVER (PARTITION BY p_partkey
-                                    ORDER BY l_extendedprice / l_quantity,
-                                             l_suppkey) AS rn
+                   ORDER BY (CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * 100) // CAST(l_quantity AS BIGINT),
+                            l_suppkey) AS rn
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE p_size >= 45)
-        SELECT p_partkey, p_name, s_suppkey, s_name,
-               round(unit_price, 4) AS best_unit_price
+        SELECT p_partkey, p_name, s_suppkey, s_name, unit_price_e4
         FROM offers JOIN supplier ON l_suppkey = s_suppkey
         WHERE rn = 1
     """,

@@ -55,12 +55,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "l_extendedprice", "l_discount")
     val = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "left_semi")
             .groupBy("l_partkey")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                  .alias("v")))
-    total = val.agg(F.avg("v").alias("avg_v"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,6)")).alias("v")))
+    # DECIMAL sums are order-independent (exact), so the rounded values and
+    # the threshold comparison cannot flip with partial-agg ordering the way
+    # double sums do (observed at sf0.1); the avg is derived with explicit
+    # double arithmetic so both engines compute the identical scalar
+    total = val.agg((F.sum("v").cast("double") / F.count(F.lit(1)))
+                    .alias("avg_v"))
     return (val.join(F.broadcast(total))
-               .filter(F.col("v") > F.col("avg_v") * 1.4)
-               .select("l_partkey", F.round("v", 2).alias("part_value"))
+               .filter(F.col("v").cast("double") > F.col("avg_v") * 1.4)
+               .select("l_partkey",
+                       F.round("v", 2).cast("double").alias("part_value"))
                .orderBy(F.desc("part_value"), "l_partkey"))
 
 
@@ -173,15 +179,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "q11_important_parts": """
         WITH val AS (
-          SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+          SELECT l_partkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))) AS v
           FROM lineitem
           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
                               JOIN nation ON s_nationkey = n_nationkey
                               WHERE n_nationkey < 13)
           GROUP BY l_partkey)
-        SELECT l_partkey, round(v, 2) AS part_value
+        SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
         FROM val
-        WHERE v > (SELECT avg(v) FROM val) * 1.4
+        WHERE CAST(v AS DOUBLE)
+              > (SELECT CAST(sum(v) AS DOUBLE) / count(*) FROM val) * 1.4
         ORDER BY part_value DESC, l_partkey
     """,
     "q12_shipping_delay": """
