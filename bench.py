@@ -45,9 +45,11 @@ HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "16"))
 
 BENCH_QUERIES = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q9_product_profit", "q21_waiting_suppliers",
     "q_sessionize_events", "q_running_user_value", "q_event_daily_stats",
     "q_doc_token_stats", "q_doc_fingerprint", "q_doc_minhash_lsh",
-    "q_doc_simhash", "q_emb_topk_cosine", "q_multimodal_meta",
+    "q_doc_simhash", "q_doc_vocab_topk", "q_emb_topk_cosine",
+    "q_multimodal_meta",
 )
 
 
