@@ -96,7 +96,35 @@ def q_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
               .limit(10))
 
 
+def q_event_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour activity per event: a RANGE window frame (value
+    bounds, not row counts) over epoch-microsecond order — the frame spec
+    the other window queries don't exercise. The sum is DECIMAL so frame
+    evaluation order (Spark running-scan vs DuckDB segment tree) cannot
+    flip rounded doubles."""
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC
+    # (session.py), so the cast to TIMESTAMP preserves the wall time
+    ev = _ev(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3_600_000_000, 0))
+    return (ev.select(
+                "event_id", "user_id",
+                F.count(F.lit(1)).over(w).alias("events_1h"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+                 .cast("double").alias("value_1h")))
+
+
 ORACLES: dict[str, str] = {
+    "q_event_sliding_value": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS events_1h,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2)
+                    AS DOUBLE) AS value_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "q_sessionize_events": f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id, value,
@@ -164,4 +192,5 @@ QUERIES = {
     "q_event_daily_stats": q_event_daily_stats,
     "q_event_json_props": q_event_json_props,
     "q_topk_users_by_value": q_topk_users_by_value,
+    "q_event_sliding_value": q_event_sliding_value,
 }
