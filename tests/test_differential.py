@@ -52,3 +52,67 @@ def test_random_filter_agg_agrees(qty, disc_lo, flag):
         # cent between engines (hypothesis found such a predicate). Allow
         # exactly that boundary flip and nothing more.
         assert abs(got["rev"] - want[1]) <= 0.01 + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    status=st.sampled_from(["F", "P", "O"]),
+    prio=st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+    qty=st.integers(min_value=5, max_value=45),
+)
+def test_random_join_agg_agrees(status, prio, qty):
+    # join template: fact x dim with sampled predicates on both sides,
+    # DECIMAL sum so both engines agree exactly (no cent-boundary slack)
+    spark, duck = _env["spark"], _env["duck"]
+    if "orders" not in _env:
+        duck.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+        _env["orders"] = True
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    got = (l.filter(F.col("l_quantity") >= qty)
+           .join(o.filter((F.col("o_orderstatus") == status)
+                          & (F.col("o_orderpriority") == prio)),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("l_extendedprice")
+                              .cast("decimal(18,6)")), 2)
+                 .cast("double").alias("rev"))
+           .collect()[0])
+    want = duck.sql(f"""
+        SELECT count(*) AS n,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= {qty} AND o_orderstatus = '{status}'
+          AND o_orderpriority = '{prio}'""").fetchone()
+    assert got["n"] == want[0]
+    if want[0] > 0:
+        assert got["rev"] == want[1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    flag=st.sampled_from(["A", "N", "R"]),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_random_window_topk_agrees(flag, k):
+    # window template: per-partition top-k with deterministic tie-breaks
+    spark, duck = _env["spark"], _env["duck"]
+    from pyspark.sql.window import Window as W
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    got = sorted(map(tuple,
+        (l.filter(F.col("l_returnflag") == flag)
+          .withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k)
+          .select("l_orderkey", "l_linenumber", "rn")
+          .collect())))
+    want = sorted(map(tuple, duck.sql(f"""
+        SELECT l_orderkey, l_linenumber, rn FROM (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+          FROM lineitem WHERE l_returnflag = '{flag}')
+        WHERE rn <= {k}""").fetchall()))
+    assert got == want
