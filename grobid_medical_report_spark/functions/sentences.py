@@ -12,13 +12,17 @@ drift from entity offsets.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # a sentence ends with '.' or with a trailing parenthetical callout ')'
 _BOUNDARY = re.compile(r"(?<=[.)])\s+(?=[A-ZÀ-ÖØ-Þ0-9ÉÈÊ])")
 
 
+@lru_cache(maxsize=65536)
 def split_sentences(text: str) -> list[tuple[int, int]]:
-    """Half-open (start, end) char ranges of sentences in ``text``."""
+    """Half-open (start, end) char ranges of sentences in ``text``.
+    Memoized per worker (pure; boilerplate lines repeat — see
+    operators/ner.py). Callers must not mutate the returned list."""
     if not text:
         return []
     spans: list[tuple[int, int]] = []
