@@ -28,7 +28,7 @@ import numpy as np
 
 from ..functions.sentences import split_sentences
 from ..functions.textnorm import dehyphenize_join, normalize_space
-from .body import label_body_line
+from .body import RE_LABEL_LINE, RE_SEPARATOR, label_body_line
 from .header import parse_header_zone
 from .leftnote import parse_leftnote_zone
 from .ner import extract_entities
@@ -114,8 +114,6 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
                     j += 1
                 continue
             if lab in MERGE_KINDS:
-                from .body import RE_LABEL_LINE, RE_SEPARATOR
-
                 k = j
                 while k < n and fine[k] == lab:
                     if lab == "paragraph":
