@@ -37,3 +37,22 @@ def test_expected_span_order_dense():
     d = generate_doc(11)
     orders = [s["order"] for s in d["expected_spans"]]
     assert orders == list(range(len(orders)))
+
+
+def test_stratified_sample_invariant_under_repartition(spark):
+    # the modulo-based sample must pick identical rows regardless of
+    # physical layout — the reproducibility property sampleBy lacks
+    from grobid_medical_report_spark.operators.curation import \
+        q_doc_stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    import os
+    import tempfile
+
+    a = {tuple(r) for r in q_doc_stratified_sample(spark, sf).collect()}
+    # same computation over a repartitioned copy written elsewhere
+    out = os.path.join(tempfile.mkdtemp(), "docs")
+    (spark.read.parquet(f"{sf}/documents.parquet").repartition(17)
+          .write.parquet(f"{out}/documents.parquet"))
+    b = {tuple(r) for r in q_doc_stratified_sample(spark, out).collect()}
+    assert a == b
