@@ -19,7 +19,13 @@ build.gradle:192-338):
 * ``left-note-medical-report``  — one row per leftnote-zone line;
 * ``fr-medical-ner``            — one row per TOKEN of body paragraphs with
                                   a BIO label derived from the NER char
-                                  spans (``tok_idx`` carries the position).
+                                  spans (``tok_idx`` carries the position);
+* the six sub-entity trainers   — ``medic``, ``patient``, ``dateline``,
+  ``address``, ``organization``, ``name-person-medical`` (reference
+  build.gradle:179-189): B-/I- token rows over the short strings the
+  cascade routes to each child model, with segments derived from the SAME
+  regex groups the parsers use (consistency asserted in
+  tests/test_training.py). This completes the reference's 11-trainer set.
 
 Feature semantics mirror SURVEY.md F2: uppercase profile, punctuation,
 digit content, position bins, repetition counts (F3), length bins.
@@ -53,7 +59,13 @@ TRAINING_SCHEMA = (
 
 TRAINING_MODELS = ("medical-report-segmenter", "full-medical-text",
                    "header-medical-report", "left-note-medical-report",
-                   "fr-medical-ner")
+                   "fr-medical-ner",
+                   # sub-entity trainers (reference build.gradle:179-189:
+                   # train_medic/patient/dateline/address/organization/
+                   # name_person_medical) — token rows over the short
+                   # strings the cascade routes to each child model
+                   "medic", "patient", "dateline", "address",
+                   "organization", "name-person-medical")
 
 
 def label_header_line(t: str) -> str:
@@ -137,6 +149,118 @@ def _featurize_line(t: str, i: int, n: int, counts: dict[str, int],
     }
 
 
+def _seg_token_rows(model: str, doc_id: str, line_idx: int, text: str,
+                    segments: list[tuple[int, int, str]],
+                    out: list[dict[str, Any]]) -> None:
+    """Token rows for a sub-entity model: whitespace tokens of ``text``
+    labeled B-/I-<field> by char-range membership in ``segments`` (the
+    begin-marker convention the reference's sub-model corpora use), 'O'
+    outside every segment (separator commas, 'le' prefixes, ...)."""
+    toks: list[tuple[int, str]] = []
+    pos = 0
+    for tok in text.split(" "):
+        if tok:
+            toks.append((pos, tok))
+        pos += len(tok) + 1
+    nt = len(toks)
+    begun: set[int] = set()
+    for ti, (start, tok) in enumerate(toks):
+        label = "O"
+        for si, (s0, s1, field) in enumerate(segments):
+            if s0 <= start < s1:
+                label = ("I-" if si in begun else "B-") + field
+                begun.add(si)
+                break
+        out.append({"model": model, "doc_id": doc_id, "line_idx": line_idx,
+                    "tok_idx": ti, "text": tok, "label": label,
+                    "features": _featurize_line(tok, ti, nt, {}, False)})
+
+
+def _person_name_segments(persname: str, base: int) -> list[tuple[int, int, str]]:
+    """(start, end, field) segments of a person-name string at offset
+    ``base`` — mirrors header.parse_person_name's split exactly."""
+    from .header import parse_person_name
+
+    pn = parse_person_name(persname)
+    segs: list[tuple[int, int, str]] = []
+    pos = base
+    for tok in persname.split(" "):
+        if tok:
+            if tok == pn["title"] and not any(f == "title" for *_, f in segs):
+                segs.append((pos, pos + len(tok), "title"))
+            elif tok == pn["surname"] and pos + len(tok) == base + len(persname):
+                segs.append((pos, pos + len(tok), "surname"))
+            elif tok == pn["forename"] and all(f != "forename" for *_, f in segs):
+                segs.append((pos, pos + len(tok), "forename"))
+            else:
+                segs.append((pos, pos + len(tok), "middlename"))
+        pos += len(tok) + 1
+    return segs
+
+
+def _sub_entity_rows(doc_id: str, line_idx: int, t: str, zone: str,
+                     header_label: str, out: list[dict[str, Any]]) -> None:
+    """Training rows for the six sub-entity models from one front-matter
+    line (the cascade's child-model routing, SURVEY.md C3)."""
+    if zone == "header":
+        if header_label == "medic":
+            m = RE_MEDIC_SPLIT.fullmatch(t)
+            if m:
+                _seg_token_rows("medic", doc_id, line_idx, t,
+                                [(m.start(1), m.end(1), "persname"),
+                                 (m.start(2), m.end(2), "role")], out)
+                _seg_token_rows("name-person-medical", doc_id, line_idx,
+                                m.group(1),
+                                _person_name_segments(m.group(1), 0), out)
+        elif header_label == "dateline":
+            m = RE_DATELINE.fullmatch(t)
+            if m:
+                segs = [(m.start(1), m.end(1), "placename"),
+                        (m.start(2), m.end(2), "date")]
+                if m.group(3):
+                    segs.append((m.start(3), m.end(3), "time"))
+                _seg_token_rows("dateline", doc_id, line_idx, t, segs, out)
+        elif header_label == "idno":
+            i = t.index(":") + 1
+            while i < len(t) and t[i] == " ":
+                i += 1
+            _seg_token_rows("patient", doc_id, line_idx, t,
+                            [(i, len(t), "id")], out)
+        elif header_label == "patient":
+            _seg_token_rows("patient", doc_id, line_idx, t,
+                            [(0, len(t), "persname")], out)
+            _seg_token_rows("name-person-medical", doc_id, line_idx, t,
+                            _person_name_segments(t, 0), out)
+        elif header_label == "birthdate":
+            i = t.index("le ") + 3
+            _seg_token_rows("patient", doc_id, line_idx, t,
+                            [(i, len(t), "birthdate")], out)
+        elif header_label == "age":
+            _seg_token_rows("patient", doc_id, line_idx, t,
+                            [(0, len(t), "age")], out)
+        elif header_label == "patient_address":
+            i = t.index(":") + 1
+            while i < len(t) and t[i] == " ":
+                i += 1
+            _seg_token_rows("patient", doc_id, line_idx, t,
+                            [(i, len(t), "address")], out)
+    elif zone == "leftnote":
+        if header_label == "org":
+            _seg_token_rows("organization", doc_id, line_idx, t,
+                            [(0, len(t), "orgname")], out)
+        elif header_label == "address":
+            if RE_POSTCODE.fullmatch(t):
+                sp = t.index(" ")
+                _seg_token_rows("address", doc_id, line_idx, t,
+                                [(0, sp, "postcode"),
+                                 (sp + 1, len(t), "settlement")], out)
+            elif RE_STREET.fullmatch(t):
+                comma = t.index(",")
+                _seg_token_rows("address", doc_id, line_idx, t,
+                                [(0, comma, "streetnumber"),
+                                 (comma + 1, len(t), "streetname")], out)
+
+
 def _training_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
     import numpy as np
     import pandas as pd
@@ -159,15 +283,17 @@ def _training_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
                             "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
                             "text": t, "label": z, "features": feats})
                 if z == "header":
+                    hl = label_header_line(t)
                     out.append({"model": "header-medical-report",
                                 "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
-                                "text": t, "label": label_header_line(t),
-                                "features": feats})
+                                "text": t, "label": hl, "features": feats})
+                    _sub_entity_rows(doc_id, i, t, "header", hl, out)
                 elif z == "leftnote":
+                    ll = label_leftnote_line(t)
                     out.append({"model": "left-note-medical-report",
                                 "doc_id": doc_id, "line_idx": i, "tok_idx": -1,
-                                "text": t, "label": label_leftnote_line(t),
-                                "features": feats})
+                                "text": t, "label": ll, "features": feats})
+                    _sub_entity_rows(doc_id, i, t, "leftnote", ll, out)
                 elif z == "body":
                     prev_media = bool(i > 0 and is_media[i - 1]
                                       and zones[i - 1] == "body")

@@ -114,3 +114,64 @@ def test_ner_bio_roundtrip():
                     assert lab == want, (e, tok, lab, want)
             # the entity start must align to a token start (B- anchor exists)
             assert by_start[e["start"]][1] == "B-" + e["type"]
+
+
+def test_sub_entity_models_emitted_and_consistent(spark):
+    """The six sub-entity trainers (reference build.gradle:179-189) emit
+    token rows whose B-/I- segments agree with the cascade's own parses."""
+    from grobid_medical_report_spark.corpus import corpus_df
+    from grobid_medical_report_spark.operators.header import parse_person_name
+    from grobid_medical_report_spark.operators.training import (
+        TRAINING_MODELS, training_data)
+
+    td = training_data(corpus_df(spark, 80)).cache()
+    models = {r["model"] for r in td.select("model").distinct().collect()}
+    assert set(TRAINING_MODELS) <= models, models
+
+    # medic: per line exactly one B-persname, before exactly one B-role
+    rows = (td.filter("model = 'medic'")
+              .orderBy("doc_id", "line_idx", "tok_idx").collect())
+    by_line: dict = {}
+    for r in rows:
+        by_line.setdefault((r["doc_id"], r["line_idx"]), []).append(r)
+    assert by_line
+    for toks in by_line.values():
+        labs = [t["label"] for t in toks]
+        assert labs.count("B-persname") == 1
+        assert labs.count("B-role") == 1
+        assert labs.index("B-persname") < labs.index("B-role")
+
+    # name-person-medical: re-derive fields from the labeled tokens and
+    # compare with parse_person_name of the reassembled name
+    rows = (td.filter("model = 'name-person-medical'")
+              .orderBy("doc_id", "line_idx", "tok_idx").collect())
+    by_line = {}
+    for r in rows:
+        by_line.setdefault((r["doc_id"], r["line_idx"]), []).append(r)
+    assert by_line
+    for toks in by_line.values():
+        name = " ".join(t["text"] for t in toks)
+        pn = parse_person_name(name)
+        got = {f: " ".join(t["text"] for t in toks
+                           if t["label"].endswith(f))
+               for f in ("title", "forename", "middlename", "surname")}
+        for f in ("title", "forename", "middlename", "surname"):
+            assert got[f] == pn[f], (name, f, got[f], pn[f])
+
+    # dateline: every line has one B-placename and one B-date
+    rows = td.filter("model = 'dateline'").collect()
+    by_line = {}
+    for r in rows:
+        by_line.setdefault((r["doc_id"], r["line_idx"]), []).append(r)
+    assert by_line
+    for toks in by_line.values():
+        labs = [t["label"] for t in toks]
+        assert labs.count("B-placename") == 1 and labs.count("B-date") == 1
+
+    # address: streetnumber/streetname or postcode/settlement pairings
+    rows = td.filter("model = 'address'").collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == "O" or r["label"].split("-", 1)[1] in (
+            "streetnumber", "streetname", "postcode", "settlement")
+    td.unpersist()
