@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .pipeline import EXTRACT_SCHEMA, extract
+from .pipeline import PUBLIC_SCHEMA, extract
 
 GIANT_THRESHOLD = 2000     # spans; docs above this take the chunked path
 PAGES_PER_CHUNK = 4
@@ -167,5 +167,5 @@ def extract_chunked(df: DataFrame, giant_threshold: int = GIANT_THRESHOLD,
                  .withColumn("doc_id", F.split("doc_id", "#").getItem(0)))
 
     giant_out = (chunk_out.groupBy("doc_id")
-                 .applyInPandas(_merge_chunks(), schema=EXTRACT_SCHEMA))
+                 .applyInPandas(_merge_chunks(), schema=PUBLIC_SCHEMA))
     return small_out.unionByName(giant_out)

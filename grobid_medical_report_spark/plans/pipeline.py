@@ -36,7 +36,6 @@ from ..operators.assemble import extract_doc
 
 EXTRACT_SCHEMA = (
     "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>, "
     "zones array<struct<zone:string,start:int,end:int,order:int>>, "
     "header struct<docnum:string,doctype:string,title:string,date_iso:string,"
     "time:string,dateline:string,affiliation:string,address:string,org:string,"
@@ -57,14 +56,38 @@ EXTRACT_SCHEMA = (
     "date:string,time:string,note:string>>, "
     "person_names array<struct<idx:int,title:string,forename:string,"
     "middlename:string,surname:string,suffix:string>>, "
-    "entities array<struct<type:string,text:string,start:int,end:int,"
-    "span_order:int>>, "
-    "sentences array<struct<span_order:int,idx:int,start:int,end:int>>, "
     "markers array<struct<span_order:int,start:int,end:int,"
     "marker_kind:string,target:string>>, "
+    # the three HIGH-VOLUME outputs cross the Python->JVM boundary as
+    # parallel PRIMITIVE arrays (a list<string>/list<int> converts ~3x
+    # faster than list<struct> on both the Arrow-serialize and the
+    # JVM-decode side, measured); extract() zips them back into the
+    # public struct columns JVM-side, so consumers see the same schema
+    "span_kinds array<string>, span_texts array<string>, "
+    "span_refs array<string>, "
+    "ent_types array<string>, ent_texts array<string>, "
+    "ent_starts array<int>, ent_ends array<int>, "
+    "ent_span_orders array<int>, "
+    "sent_span_orders array<int>, sent_idxs array<int>, "
+    "sent_starts array<int>, sent_ends array<int>, "
     "n_spans int, n_pages int, status string"
 )
 
+#: the public schema extract() presents after the JVM-side re-zip — what
+#: every consumer (tests, checkpoint, chunked merge, driver) sees
+PUBLIC_SCHEMA = EXTRACT_SCHEMA.replace(
+    "span_kinds array<string>, span_texts array<string>, "
+    "span_refs array<string>, "
+    "ent_types array<string>, ent_texts array<string>, "
+    "ent_starts array<int>, ent_ends array<int>, "
+    "ent_span_orders array<int>, "
+    "sent_span_orders array<int>, sent_idxs array<int>, "
+    "sent_starts array<int>, sent_ends array<int>, ",
+    "spans array<struct<kind:string,text:string,media_ref:string,"
+    "order:int>>, "
+    "entities array<struct<type:string,text:string,start:int,end:int,"
+    "span_order:int>>, "
+    "sentences array<struct<span_order:int,idx:int,start:int,end:int>>, ")
 
 
 def _extract_batches(max_spans: int | None):
@@ -77,14 +100,72 @@ def _extract_batches(max_spans: int | None):
             rows = [extract_doc(d, s, max_spans=max_spans, first_chunk=bool(fc))
                     for d, s, fc in zip(pdf["doc_id"], pdf["spans"], firsts)]
             for r in rows:
-                r["n_pages"] = sum(1 for sp in r["spans"]
-                                   if sp["kind"] == "page")
+                sps, ents, sents = r["spans"], r["entities"], r["sentences"]
+                r["n_pages"] = sum(1 for sp in sps if sp["kind"] == "page")
+                r["span_kinds"] = [sp["kind"] for sp in sps]
+                r["span_texts"] = [sp["text"] for sp in sps]
+                r["span_refs"] = [sp["media_ref"] for sp in sps]
+                r["ent_types"] = [e["type"] for e in ents]
+                r["ent_texts"] = [e["text"] for e in ents]
+                r["ent_starts"] = [e["start"] for e in ents]
+                r["ent_ends"] = [e["end"] for e in ents]
+                r["ent_span_orders"] = [e["span_order"] for e in ents]
+                r["sent_span_orders"] = [s["span_order"] for s in sents]
+                r["sent_idxs"] = [s["idx"] for s in sents]
+                r["sent_starts"] = [s["start"] for s in sents]
+                r["sent_ends"] = [s["end"] for s in sents]
             yield pd.DataFrame(rows, columns=[
-                "doc_id", "spans", "zones", "header", "leftnote", "medics",
-                "patients", "datelines", "person_names", "entities",
-                "sentences", "markers", "n_spans", "n_pages", "status"])
+                "doc_id", "zones", "header", "leftnote", "medics",
+                "patients", "datelines", "person_names", "markers",
+                "span_kinds", "span_texts", "span_refs",
+                "ent_types", "ent_texts", "ent_starts", "ent_ends",
+                "ent_span_orders",
+                "sent_span_orders", "sent_idxs", "sent_starts", "sent_ends",
+                "n_spans", "n_pages", "status"])
 
     return fn
+
+
+_FLAT_COLS = ("span_kinds", "span_texts", "span_refs",
+              "ent_types", "ent_texts", "ent_starts", "ent_ends",
+              "ent_span_orders",
+              "sent_span_orders", "sent_idxs", "sent_starts", "sent_ends")
+
+
+def _struct_views(out: DataFrame) -> DataFrame:
+    """Rebuild the public ``spans``/``entities``/``sentences`` struct-array
+    columns from the flat boundary columns — pure JVM column expressions
+    (whole-stage codegen), applied after the Python stage. ``order`` is the
+    span's index by construction (assemble.extract_doc enumerates)."""
+    spans = F.transform(
+        F.arrays_zip("span_kinds", "span_texts", "span_refs"),
+        lambda z, i: F.struct(z["span_kinds"].alias("kind"),
+                              z["span_texts"].alias("text"),
+                              z["span_refs"].alias("media_ref"),
+                              i.alias("order")))
+    entities = F.transform(
+        F.arrays_zip("ent_types", "ent_texts", "ent_starts", "ent_ends",
+                     "ent_span_orders"),
+        lambda z: F.struct(z["ent_types"].alias("type"),
+                           z["ent_texts"].alias("text"),
+                           z["ent_starts"].alias("start"),
+                           z["ent_ends"].alias("end"),
+                           z["ent_span_orders"].alias("span_order")))
+    sentences = F.transform(
+        F.arrays_zip("sent_span_orders", "sent_idxs", "sent_starts",
+                     "sent_ends"),
+        lambda z: F.struct(z["sent_span_orders"].alias("span_order"),
+                           z["sent_idxs"].alias("idx"),
+                           z["sent_starts"].alias("start"),
+                           z["sent_ends"].alias("end")))
+    return (out.withColumn("spans", spans)
+               .withColumn("entities", entities)
+               .withColumn("sentences", sentences)
+               .drop(*_FLAT_COLS)
+               .select("doc_id", "spans", "zones", "header", "leftnote",
+                       "medics", "patients", "datelines", "person_names",
+                       "entities", "sentences", "markers",
+                       "n_spans", "n_pages", "status"))
 
 
 def extract(df: DataFrame, max_spans: int | None = 200_000,
@@ -106,8 +187,9 @@ def extract(df: DataFrame, max_spans: int | None = 200_000,
             observation,
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("not_ok"),
-            F.sum(F.size("spans")).alias("spans_out"),
+            F.sum(F.size("span_kinds")).alias("spans_out"),
         )
+    out = _struct_views(out)
     return out
 
 
