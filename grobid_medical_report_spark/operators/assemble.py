@@ -46,28 +46,54 @@ RE_CAPTION_NUM = re.compile(r"^(?:Figure|Tableau) (\d+) ?:")
 def extract_doc(doc_id: str, spans: list[dict[str, Any]],
                 max_spans: int | None = None,
                 first_chunk: bool = True) -> dict[str, Any]:
+    """Full extraction for one document from struct-shaped spans. Thin
+    adapter over :func:`extract_doc_arrays` — the distributed stage feeds
+    the array form directly (the input crosses the Python boundary as
+    parallel primitive arrays, plans/pipeline.py)."""
+    spans = [] if spans is None else list(spans)  # Arrow hands a numpy array
+    try:
+        kinds = [s["kind"] for s in spans]
+        texts = [s["text"] for s in spans]
+        refs = [s["media_ref"] for s in spans]
+        offsets = [s["offset"] for s in spans]
+    except Exception as exc:  # malformed span dicts (S3 isolation)
+        return {
+            "doc_id": doc_id, "spans": [], "zones": [], "header": None,
+            "leftnote": None, "medics": [], "patients": [], "datelines": [],
+            "person_names": [], "entities": [], "sentences": [],
+            "markers": [], "n_spans": len(spans),
+            "status": f"error: {type(exc).__name__}: {exc}",
+        }
+    return extract_doc_arrays(doc_id, kinds, texts, refs, offsets,
+                              max_spans=max_spans, first_chunk=first_chunk)
+
+
+def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
+                       refs_raw: list[str], offsets: list[int],
+                       max_spans: int | None = None,
+                       first_chunk: bool = True) -> dict[str, Any]:
     """Full extraction for one document. Never raises: failures and oversize
     docs are routed to ``status`` (per-row failure isolation, SURVEY.md S3;
     oversize guard P3 analog of getPdfTokensMax)."""
-    spans = [] if spans is None else list(spans)  # Arrow hands a numpy array
+    n_in = len(kinds)
     base = {
         "doc_id": doc_id, "spans": [], "zones": [], "header": None,
         "leftnote": None, "medics": [], "patients": [], "datelines": [],
         "person_names": [], "entities": [], "sentences": [], "markers": [],
-        "n_spans": len(spans), "status": "ok",
+        "n_spans": n_in, "status": "ok",
     }
     try:
-        if not spans:
+        if not n_in:
             base["status"] = "empty"
             return base
-        if max_spans is not None and len(spans) > max_spans:
+        if max_spans is not None and n_in > max_spans:
             base["status"] = "oversize"
             return base
 
-        spans = sorted(spans, key=lambda s: s["offset"])  # reading order (O1)
-        texts = [normalize_space(s["text"] or "") for s in spans]
-        refs = [s["media_ref"] or "" for s in spans]
-        is_media = np.array([s["kind"] == "media" for s in spans], dtype=bool)
+        order = sorted(range(n_in), key=offsets.__getitem__)  # reading (O1)
+        texts = [normalize_space(texts_raw[i] or "") for i in order]
+        refs = [refs_raw[i] or "" for i in order]
+        is_media = np.array([kinds[i] == "media" for i in order], dtype=bool)
 
         # stage 1: segmentation (coarse zones per line)
         zone_labels = segment_doc(texts, is_media, first_chunk)

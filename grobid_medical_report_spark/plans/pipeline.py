@@ -32,7 +32,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..operators.assemble import extract_doc
+from ..operators.assemble import extract_doc_arrays
 
 EXTRACT_SCHEMA = (
     "doc_id string, "
@@ -93,12 +93,19 @@ PUBLIC_SCHEMA = EXTRACT_SCHEMA.replace(
 def _extract_batches(max_spans: int | None):
     import pandas as pd
 
+    def _l(x):  # null spans column -> empty doc
+        return [] if x is None else list(x)
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             firsts = (pdf["first_chunk"] if "first_chunk" in pdf.columns
                       else [True] * len(pdf))
-            rows = [extract_doc(d, s, max_spans=max_spans, first_chunk=bool(fc))
-                    for d, s, fc in zip(pdf["doc_id"], pdf["spans"], firsts)]
+            rows = [extract_doc_arrays(d, _l(k), _l(t), _l(r), _l(o),
+                                       max_spans=max_spans,
+                                       first_chunk=bool(fc))
+                    for d, k, t, r, o, fc in zip(
+                        pdf["doc_id"], pdf["in_kinds"], pdf["in_texts"],
+                        pdf["in_refs"], pdf["in_offsets"], firsts)]
             for r in rows:
                 sps, ents, sents = r["spans"], r["entities"], r["sentences"]
                 r["n_pages"] = sum(1 for sp in sps if sp["kind"] == "page")
@@ -180,6 +187,20 @@ def extract(df: DataFrame, max_spans: int | None = 200_000,
     """
     if repartition_to:
         df = df.repartition(repartition_to)
+
+    # the INPUT also crosses the boundary as parallel primitive arrays —
+    # transform() on the struct column is JVM-side, and four flat arrays
+    # Arrow-decode into Python far cheaper than one list<struct>
+    flat_in = [
+        F.col("doc_id"),
+        F.transform("spans", lambda s: s["kind"]).alias("in_kinds"),
+        F.transform("spans", lambda s: s["text"]).alias("in_texts"),
+        F.transform("spans", lambda s: s["media_ref"]).alias("in_refs"),
+        F.transform("spans", lambda s: s["offset"]).alias("in_offsets"),
+    ]
+    if "first_chunk" in df.columns:
+        flat_in.append(F.col("first_chunk"))
+    df = df.select(*flat_in)
 
     out = df.mapInPandas(_extract_batches(max_spans), schema=EXTRACT_SCHEMA)
     if observation is not None:
