@@ -120,6 +120,31 @@ def x_eval_segmenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_labels(pred.join(truth, ["doc_id", "line_idx"]))
 
 
+def x_eval_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity-type P/R/F1 of the NER stage against the golden entity
+    table: exact-span matching via a full outer join on
+    (doc_id, span_order, start, end), unmatched sides scored as 'O'. The
+    distributed analog of the reference's eval_french_medical_ner."""
+    from grobid_medical_report_spark.corpus import truth_entities_df
+    from grobid_medical_report_spark.operators.evaluation import evaluate_labels
+
+    n = min(_n_docs(spark, sf_dir), 200)
+    ext = _extracted(spark, sf_dir)
+    pred = (ext.filter(F.col("doc_id") < F.concat(F.lit("doc_"),
+                                                  F.lpad(F.lit(n), 6, "0")))
+            .select("doc_id", F.explode("entities").alias("e"))
+            .select("doc_id", F.col("e.span_order").alias("span_order"),
+                    F.col("e.start").alias("start"),
+                    F.col("e.end").alias("end"),
+                    F.col("e.type").alias("predicted")))
+    truth = truth_entities_df(spark, n)
+    keys = ["doc_id", "span_order", "start", "end"]
+    pairs = (pred.join(truth, keys, "full_outer")
+             .select(F.coalesce("predicted", F.lit("O")).alias("predicted"),
+                     F.coalesce("label", F.lit("O")).alias("label")))
+    return evaluate_labels(pairs)
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -152,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
         "x_training_data": x_training_data,
         "x_eval_segmenter": x_eval_segmenter,
+        "x_eval_ner": x_eval_ner,
     })
     return out
 

@@ -507,3 +507,28 @@ def truth_zone_lines_df(spark, n_docs: int):
             yield pd.DataFrame(rows, columns=["doc_id", "line_idx", "label"])
 
     return rng_df.mapInPandas(gen, schema="doc_id string, line_idx int, label string")
+
+
+def truth_entities_df(spark, n_docs: int):
+    """Distributed golden truth table of NER entity spans
+    (doc_id, span_order, start, end, label) — the annotated side of the NER
+    eval harness (the reference's eval_french_medical_ner analog)."""
+    import pandas as pd
+
+    parts = spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                d = generate_doc(int(i))
+                for e in d["entities"]:
+                    rows.append((d["doc_id"], e["span_order"], e["start"],
+                                 e["end"], e["type"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "span_order",
+                                              "start", "end", "label"])
+
+    return rng_df.mapInPandas(
+        gen, schema="doc_id string, span_order int, start int, end int, "
+                    "label string")

@@ -45,3 +45,14 @@ def test_split_deterministic_and_disjoint(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.6 < frac < 0.95
+
+
+def test_ner_eval_perfect_on_golden(spark):
+    """x_eval_ner must score 1.0 on every entity type: the kernel equals the
+    golden oracle by construction, so any sub-1.0 score is a regression in
+    either the NER stage or the eval join itself."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.x_eval_ner(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["f1"] == 1.0 for r in rows), \
+        [(r["label"], r["f1"]) for r in rows if r["f1"] != 1.0]
