@@ -145,6 +145,28 @@ def x_eval_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_labels(pairs)
 
 
+def x_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path end-to-end: stage a small corpus as parquet
+    files, drain it with an availableNow micro-batch stream through the SAME
+    fused extraction cascade, and return the resulting span table. Output
+    equals the batch path row-for-row (asserted in tests/test_streaming.py);
+    rows-only here because a streaming sink has no SQL oracle."""
+    import tempfile
+
+    from grobid_medical_report_spark.streaming.stream import stream_extract
+
+    n = min(_n_docs(spark, sf_dir), 100)
+    root = tempfile.mkdtemp(prefix="sg_stream_")
+    corpus_df(spark, n).write.mode("overwrite").parquet(f"{root}/in")
+    stream_extract(spark, f"{root}/in", f"{root}/out", f"{root}/ckpt")
+    return (spark.read.parquet(f"{root}/out")
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.order").alias("order"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -178,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_training_data": x_training_data,
         "x_eval_segmenter": x_eval_segmenter,
         "x_eval_ner": x_eval_ner,
+        "x_stream_extract": x_stream_extract,
     })
     return out
 
