@@ -115,7 +115,43 @@ def q_event_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("value_1h")))
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first 'click' is followed by a
+    'purchase' within 7 days. Two per-user aggregates + one conditional
+    min — no event-level self-join, so the fact table is scanned once per
+    step and the join carries one row per user."""
+    ev = _ev(spark, sf_dir)
+    first_click = (ev.filter(F.col("event_type") == "click")
+                   .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    purch = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", "ts")
+    conv = (purch.join(first_click, "user_id")
+            .filter((F.col("ts") >= F.col("click_ts"))
+                    & (F.col("ts") <= F.col("click_ts")
+                       + F.expr("INTERVAL 7 DAYS")))
+            .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    n_click = first_click.count()
+    n_conv = conv.count()
+    return spark.createDataFrame(
+        [("click", n_click), ("click_then_purchase_7d", n_conv)],
+        "step string, n_users long")
+
+
 ORACLES: dict[str, str] = {
+    "q_event_funnel": """
+        WITH first_click AS (
+          SELECT user_id, min(ts) AS click_ts FROM events
+          WHERE event_type = 'click' GROUP BY user_id),
+        conv AS (
+          SELECT e.user_id
+          FROM events e JOIN first_click USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= click_ts AND e.ts <= click_ts + INTERVAL 7 DAY
+          GROUP BY e.user_id)
+        SELECT 'click' AS step, count(*)::BIGINT AS n_users FROM first_click
+        UNION ALL
+        SELECT 'click_then_purchase_7d', count(*)::BIGINT FROM conv
+    """,
     "q_event_sliding_value": """
         SELECT event_id, user_id,
                count(*) OVER w AS events_1h,
@@ -193,4 +229,5 @@ QUERIES = {
     "q_event_json_props": q_event_json_props,
     "q_topk_users_by_value": q_topk_users_by_value,
     "q_event_sliding_value": q_event_sliding_value,
+    "q_event_funnel": q_event_funnel,
 }
