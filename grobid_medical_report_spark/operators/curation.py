@@ -112,10 +112,65 @@ def q_doc_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("lang", "doc_id", "n_chars", "rank"))
 
 
+DECON_NGRAM = 5
+DECON_BENCH_DOCS = 5      # doc_id < N form the held-out "benchmark" set
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with a held-out evaluation set (here: the first 5 docs). The
+    benchmark n-gram set is tiny by definition -> broadcast; the corpus
+    side explodes its n-grams once and semi-joins, so contamination
+    checking is one scan + one broadcast join no matter the corpus size —
+    the shape of real eval-set decontamination at 100 TB."""
+    # tokens materialized as a column FIRST (see dedup._shingle_arrays: an
+    # inline split() expression re-runs per element_at)
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.split(F.trim("text"), " ").alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= DECON_NGRAM,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(w) - DECON_NGRAM),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k + 1)
+                       for k in range(DECON_NGRAM)]))),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = t.select("doc_id", "lang", grams.alias("grams"))
+    bench = (with_grams.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+             .select(F.explode("grams").alias("gram")).distinct())
+    corpus = (with_grams.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+              .select("doc_id", "lang", F.explode("grams").alias("gram")))
+    return (corpus.join(F.broadcast(bench), "gram", "left_semi")
+            .groupBy("doc_id", "lang")
+            .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+            .orderBy("doc_id"))
+
+
 _RATES_SQL = "VALUES " + ", ".join(
     f"('{lg}', {r})" for lg, r in sorted(SAMPLE_RATES.items()))
 
 ORACLES: dict[str, str] = {
+    "q_doc_decontaminate": f"""
+        WITH grams AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(string_split(trim(text), ' '))
+                            - {DECON_NGRAM - 2}),
+                   i -> array_to_string(
+                     string_split(trim(text), ' ')[i : i + {DECON_NGRAM - 1}],
+                     ' ')))) AS gram
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= {DECON_NGRAM}),
+        bench AS (
+          SELECT DISTINCT gram FROM grams
+          WHERE doc_id < {DECON_BENCH_DOCS})
+        SELECT doc_id, lang, count(*) AS contaminated_ngrams
+        FROM (SELECT * FROM grams WHERE doc_id >= {DECON_BENCH_DOCS})
+          JOIN bench USING (gram)
+        GROUP BY doc_id, lang
+        ORDER BY doc_id
+    """,
     "q_doc_vocab_topk": f"""
         SELECT word, count(*) AS occurrences,
                count(DISTINCT doc_id) AS doc_freq
@@ -161,6 +216,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_doc_decontaminate": q_doc_decontaminate,
     "q_doc_vocab_topk": q_doc_vocab_topk,
     "q_doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "q_doc_stratified_sample": q_doc_stratified_sample,
