@@ -16,6 +16,7 @@ caption line fuses into one figure/table span carrying the media_ref.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from ..functions.lexicon import SECTIONS, SUBSECTIONS
 
@@ -56,8 +57,10 @@ RE_BODY = re.compile(
     r"|(?P<subsection>[A-ZÀ-ÖØ-Þ][a-zà-öø-ÿ' ]+ ?:))$")
 
 
+@lru_cache(maxsize=65536)
 def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
-    """Fine label for one body-zone line (C1 analog for the body model)."""
+    """Fine label for one body-zone line (C1 analog for the body model).
+    Memoized per worker (pure; body lines repeat across documents)."""
     if is_media:
         return "media"
     m = RE_BODY.match(text)

@@ -24,6 +24,7 @@ Pure numpy/regex — runs inside ``mapInPandas`` batches, no Spark imports.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 
@@ -93,6 +94,25 @@ RE_MAIN = re.compile(
     r"|(?P<annex>ANNEXE\b.*))$")
 
 
+@lru_cache(maxsize=65536)
+def _main_kind(t: str) -> str | None:
+    """Memoized RE_MAIN classification (pure; boilerplate lines repeat —
+    headnote/footnote/page lines especially, by construction)."""
+    m = RE_MAIN.match(t)
+    return m.lastgroup if m else None
+
+
+@lru_cache(maxsize=65536)
+def _front_kind(t: str) -> str | None:
+    """Memoized front-matter classification: leftnote beats header, matching
+    the original RE_LEFT-then-RE_HDR cascade order."""
+    if RE_LEFT.match(t):
+        return "leftnote"
+    if RE_HDR.match(t):
+        return "header"
+    return None
+
+
 def _strip_anchors(rx: re.Pattern) -> str:
     p = rx.pattern
     return p[1 if p.startswith("^") else 0:
@@ -125,10 +145,11 @@ def _emissions(texts: list[str], is_media: np.ndarray,
     em[:, _Z["annex_b"]] = -1e9      # emitted only at an ANNEXE marker line
 
     # one combined-alternation match per line (page/headnote/footnote/ack/
-    # annex); page boundaries -> per-line page index
-    mains = [RE_MAIN.match(t) for t in texts]
+    # annex), memoized across repeated boilerplate lines; page boundaries
+    # -> per-line page index
+    mains = [_main_kind(t) for t in texts]
     page_mark = np.fromiter(
-        (bool(m and m.lastgroup == "page") for m in mains), dtype=bool, count=n)
+        (g == "page" for g in mains), dtype=bool, count=n)
     page_idx = np.concatenate(([0], np.cumsum(page_mark)[:-1]))
 
     # repetitive-pattern counts (F3 analog, the boilerplate detector)
@@ -150,9 +171,8 @@ def _emissions(texts: list[str], is_media: np.ndarray,
         if is_media[i]:
             em[i, _Z["body"]] = 10.0
             continue
-        m = mains[i]
-        if m:
-            g = m.lastgroup
+        g = mains[i]
+        if g:
             if g in ("headnote", "footnote"):
                 # repetition count = the F3 boilerplate feature
                 em[i, _Z[g]] = 10.0 + counts.get(t, 0) * 0.1
@@ -160,9 +180,10 @@ def _emissions(texts: list[str], is_media: np.ndarray,
                 em[i, _kind_state[g]] = 10.0
             continue
         if first_chunk and page_idx[i] == 0 and i < first_section:
-            if RE_LEFT.match(t):
+            fk = _front_kind(t)
+            if fk == "leftnote":
                 em[i, _Z["leftnote"]] = 8.0
-            elif RE_HDR.match(t):
+            elif fk == "header":
                 em[i, _Z["header"]] = 8.0
             else:
                 em[i, _Z["header"]] = 4.0   # unrecognized front matter -> header
