@@ -37,3 +37,21 @@ def test_chunked_resumable_kill_restart(spark, tmp_path):
                 for s in exp[r["doc_id"]]["expected_spans"]]
         got = [(s.kind, s.text, s.media_ref, s.order) for s in r.spans]
         assert got == want, r["doc_id"]
+
+
+def test_driver_contract_registry_consistent(spark):
+    """Every oracle key must name a registered query, and every query must
+    build a DataFrame with non-empty schema (catches registry drift and
+    lazily-broken imports without running the data)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
+    # spot-build a handful across modules (full build of all 82 is the
+    # oracle gate's job; this guards imports and signatures)
+    for name in ("q1_pricing_summary", "q21_waiting_suppliers",
+                 "q_doc_decontaminate", "q_event_funnel",
+                 "q_doc_tfidf_top_terms", "q_emb_near_dup"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.schema.fields, name
