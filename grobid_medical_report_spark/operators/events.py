@@ -137,7 +137,36 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step string, n_users long")
 
 
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active. Two aggregates + one broadcast
+    join on the (small) per-user first-week table — no event self-join."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", "ts").alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (active.join(F.broadcast(first), "user_id")
+            .groupBy("cohort_week", "week")
+            .agg(F.countDistinct("user_id").alias("users"))
+            .withColumn("cohort_week",
+                        F.date_format("cohort_week", "yyyy-MM-dd"))
+            .withColumn("week", F.date_format("week", "yyyy-MM-dd")))
+
+
 ORACLES: dict[str, str] = {
+    "q_event_retention": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events),
+        first AS (
+          SELECT user_id, min(week) AS cohort_week FROM weeks
+          GROUP BY user_id)
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               strftime(week, '%Y-%m-%d') AS week,
+               count(DISTINCT user_id) AS users
+        FROM weeks JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_event_funnel": """
         WITH first_click AS (
           SELECT user_id, min(ts) AS click_ts FROM events
@@ -230,4 +259,5 @@ QUERIES = {
     "q_topk_users_by_value": q_topk_users_by_value,
     "q_event_sliding_value": q_event_sliding_value,
     "q_event_funnel": q_event_funnel,
+    "q_event_retention": q_event_retention,
 }
