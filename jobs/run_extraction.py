@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--chunked", action="store_true",
                     help="page-chunk giant documents (plans/chunked.py) so a "
                          "single huge doc parallelizes instead of stalling")
+    ap.add_argument("--giant-threshold", type=int, default=2000,
+                    help="span count above which --chunked page-chunks a doc")
     args = ap.parse_args(argv)
 
     from grobid_medical_report_spark.corpus import corpus_df
@@ -57,8 +59,11 @@ def main(argv: list[str] | None = None) -> int:
 
     extract_fn = None
     if args.chunked:
+        import functools
+
         from grobid_medical_report_spark.plans.chunked import extract_chunked
-        extract_fn = extract_chunked
+        extract_fn = functools.partial(extract_chunked,
+                                       giant_threshold=args.giant_threshold)
     chunks = run_with_checkpoint(
         spark, src, args.output, run_id=args.run_id, n_parts=args.n_parts,
         chunk_size=args.chunk_size, max_spans=args.max_spans,
