@@ -199,7 +199,8 @@ ORACLES: dict[str, str] = {
         WHERE rank <= 3
     """,
     "q_doc_stratified_sample": f"""
-        SELECT lang, count(*) AS sampled_docs, sum(n_chars) AS sampled_chars
+        SELECT lang, count(*) AS sampled_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         FROM documents JOIN (SELECT * FROM ({_RATES_SQL}) t(lang, rate))
           USING (lang)
         WHERE doc_id % 100 < rate

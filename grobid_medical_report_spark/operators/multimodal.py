@@ -159,9 +159,10 @@ ORACLES: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'rgb8' END AS codec,
                count(*) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                round(avg(octet_length(encode(text))), 4) AS avg_bytes,
-               sum(CAST(floor(octet_length(encode(text)) / 256) AS INT)) AS total_frames
+               CAST(sum(CAST(floor(octet_length(encode(text)) / 256) AS INT))
+                    AS BIGINT) AS total_frames
         FROM documents GROUP BY 1
     """,
 }

@@ -182,8 +182,10 @@ ORACLES: dict[str, str] = {
     """,
     "q_setop_customer_activity": """
         SELECT n_name,
-               coalesce(sum(CASE WHEN has_order THEN 1 ELSE 0 END), 0) AS active,
-               coalesce(sum(CASE WHEN has_order = false THEN 1 ELSE 0 END), 0) AS idle
+               CAST(coalesce(sum(CASE WHEN has_order THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS active,
+               CAST(coalesce(sum(CASE WHEN has_order = false THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS idle
         FROM nation LEFT JOIN (
           SELECT c_nationkey,
                  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
@@ -193,9 +195,10 @@ ORACLES: dict[str, str] = {
     """,
     "q_part_type_pivot": """
         SELECT p_brand,
-               sum(CASE WHEN p_size < 10 THEN 1 ELSE 0 END) AS n_small,
-               sum(CASE WHEN p_size >= 10 AND p_size < 30 THEN 1 ELSE 0 END) AS n_medium,
-               sum(CASE WHEN p_size >= 30 THEN 1 ELSE 0 END) AS n_large,
+               CAST(sum(CASE WHEN p_size < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+               CAST(sum(CASE WHEN p_size >= 10 AND p_size < 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_medium,
+               CAST(sum(CASE WHEN p_size >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
                round(avg(p_retailprice), 2) AS avg_price
         FROM part GROUP BY p_brand
     """,

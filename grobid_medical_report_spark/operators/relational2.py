@@ -126,8 +126,8 @@ ORACLES: dict[str, str] = {
     """,
     "q_array_hof": """
         SELECT doc_id,
-               list_aggregate(list_transform(string_split(trim(text), ' '),
-                              x -> length(x)), 'sum') AS total_chars,
+               CAST(list_aggregate(list_transform(string_split(trim(text), ' '),
+                              x -> length(x)), 'sum') AS INT) AS total_chars,
                len(list_filter(string_split(trim(text), ' '),
                    x -> length(x) > 4)) AS n_long_tokens,
                CAST(len(list_filter(string_split(trim(text), ' '),

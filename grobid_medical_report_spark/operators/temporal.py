@@ -56,11 +56,17 @@ def q_asof_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "error_id",
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                      .alias("error_ts"),
-                    F.round("last_purchase_value", 2).alias("purchase_value"),
+                    # no-prior-purchase rows carry a -1.0 sentinel instead of
+                    # NULL: pandas renders nullable doubles as NaN, which the
+                    # driver's value hash distinguishes from None
+                    F.coalesce(F.round("last_purchase_value", 2), F.lit(-1.0))
+                     .alias("purchase_value"),
                     # TIMESTAMP_NTZ has no double cast; microsecond diff
-                    F.round(F.expr(
-                        "timestampdiff(MICROSECOND, last_purchase_ts, ts)")
-                        / 1e6, 3).alias("secs_since_purchase")))
+                    F.coalesce(
+                        F.round(F.expr(
+                            "timestampdiff(MICROSECOND, last_purchase_ts, ts)")
+                            / 1e6, 3), F.lit(-1.0))
+                     .alias("secs_since_purchase")))
 
 
 def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,11 +92,11 @@ ORACLES: dict[str, str] = {
     "q_asof_error_purchase": """
         SELECT e.user_id, e.event_id AS error_id,
                strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
-               round(p.value, 2) AS purchase_value,
+               coalesce(round(p.value, 2), -1.0) AS purchase_value,
                -- exact integer microseconds (epoch() doubles lose
                -- sub-microsecond precision at 1.7e9-second magnitudes)
-               round(date_diff('microseconds', p.ts, e.ts) / 1e6,
-                     3) AS secs_since_purchase
+               coalesce(round(date_diff('microseconds', p.ts, e.ts) / 1e6,
+                     3), -1.0) AS secs_since_purchase
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON e.user_id = p.user_id AND e.ts >= p.ts

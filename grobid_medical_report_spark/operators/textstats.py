@@ -117,7 +117,8 @@ ORACLES: dict[str, str] = {
     """,
     "q_doc_token_stats": r"""
         SELECT lang, count(*) AS n_docs,
-               sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
                round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY lang

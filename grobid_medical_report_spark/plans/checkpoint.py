@@ -17,8 +17,7 @@ Design (SURVEY.md §2.12 / §7.6):
 * after each chunk commits, one checkpoint row per part_id is appended with
   lineage + metrics (docs, output rows, span-kind histogram). Metrics are
   computed **from the written data** (read-back aggregation), not from
-  ``Observation`` — observe double-counts when a stage re-executes (see
-  .claude/skills/verify/SKILL.md gotchas);
+  ``Observation`` — observe double-counts when a stage re-executes;
 * on restart with the same ``run_id``, completed part_ids are anti-joined
   away and only the remainder runs.
 """

@@ -19,23 +19,47 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    """Canonical, *type-sensitive* cell repr (mimics the driver's value hash:
+    int 3 vs float 3.0 must differ — that is how DuckDB HUGEINT artifacts
+    surface, since pandas renders HUGEINT as float64)."""
     if v is None:
-        return None
+        return "\x00"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return repr(round(v, 6))
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    return v
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return repr(v)
 
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     normed = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
-    # rollup/cube rows contain None grouping keys — sort by stringified key
-    return sorted(normed,
-                  key=lambda t: tuple("\x00" if v is None else str(v) for v in t))
+    return sorted(normed)
+
+
+def duck_rows(res):
+    """Fetch DuckDB results the way the driver does (through pandas), so
+    HUGEINT -> float64 and other dtype coercions are visible to the compare."""
+    pdf = res.df()
+    cols = list(pdf.columns)
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                try:
+                    v = v.item()
+                except (AttributeError, ValueError):
+                    pass
+            if v is not None and repr(v) == "NaT":
+                v = None
+            vals.append(v)
+        out.append(tuple(vals))
+    return cols, out
 
 
 def main() -> int:
@@ -75,9 +99,7 @@ def main() -> int:
                 print(f"WARN  {name}: 0 rows")
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = [c for c in res.columns]
-            drows = res.fetchall()
+            dcols, drows = duck_rows(con.sql(oracles[name]))
         except Exception as exc:
             print(f"FAIL  {name}: duckdb raised {type(exc).__name__}: {exc}")
             failures += 1
