@@ -10,6 +10,7 @@ is the synthetic interleaved-span corpus rather than the pre-registered views.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,8 +206,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+#: golden expected-extraction tables materialized by tools/make_golden.py —
+#: the DuckDB side of the x_extract_* oracles. The corpus generator is a pure
+#: function of (seed, index), so the committed parquet IS the truth the
+#: engine must reproduce (drift-guarded by tests/test_golden_files.py).
+#: Valid at the driver's correctness scale (sf0.01 / sf0.001 -> 500 docs).
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "golden", "n500")
+
+
+def _golden(table: str, cols: str) -> str:
+    return (f"SELECT {cols} "
+            f"FROM read_parquet('{_GOLDEN_DIR}/{table}.parquet')")
+
+
+_X_ORACLES = {
+    "x_extract_spans": _golden(
+        "expected_spans", 'doc_id, "order", kind, "text", media_ref'),
+    "x_extract_header": _golden(
+        "expected_header",
+        'doc_id, docnum, doctype, date_iso, "time", dateline, medics, patients'),
+    "x_extract_entities": _golden(
+        "expected_entities",
+        'doc_id, etype, "text", start_char, end_char, span_order'),
+    "x_extract_zones": _golden(
+        "expected_zones", "doc_id, zone, start_span, end_span, zone_order"),
+    "x_extract_sentences": _golden(
+        "expected_sentences", "doc_id, span_order, sent_idx, start_char, end_char"),
+    "x_extract_markers": _golden(
+        "expected_markers", "doc_id, span_order, marker_kind, target"),
+}
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
         out.update(m.ORACLES)
+    out.update(_X_ORACLES)
     return out
