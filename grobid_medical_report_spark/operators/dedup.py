@@ -3,16 +3,17 @@
 Corpus-curation primitives for a training-data pipeline at 100 TB scale:
 
 * exact dedup         — hash groupBy on the normalized-text fingerprint;
-* n-gram Jaccard      — word-3-gram shingles, shingle-join, exact Jaccard;
 * MinHash + LSH       — signature banding for candidate generation, then
                         exact verification, so results equal the brute-force
                         oracle while the join never goes all-pairs;
+* n-gram Jaccard      — brute shingle-join twin, TEST-ONLY (the DuckDB
+                        oracle of the LSH entry is this computation);
 * SimHash             — 16-bit md5-derived simhash, pure column expressions.
 
-Scale notes: the shingle self-join shuffles on the shingle key — at 100 TB
-the high-frequency shingle head must be dropped (stopword shingles) or the
-LSH path used exclusively; the LSH band join shuffles on (band, hash) which
-is uniformly distributed by construction. Here bands use r=1 (any matching
+Scale notes: the brute shingle self-join shuffles on the shingle key and is
+quadratic in shingle frequency — it is deliberately NOT a standing query;
+the LSH band join shuffles on (band, hash) which is uniformly distributed
+by construction. Here bands use r=1 (any matching
 minhash ⇒ candidate) which makes recall ≥ 1-(1-j)^K — at the 0.8 threshold
 the miss probability is < 1e-11, so LSH+verify is value-identical to the
 exact oracle; a production run at lower thresholds would use r=2..4 bands.
@@ -64,8 +65,15 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "n_copies"))
 
 
-def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with word-3-gram Jaccard >= 0.8 (brute shingle join)."""
+def brute_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with word-3-gram Jaccard >= 0.8 (brute shingle join).
+
+    TEST-ONLY baseline (not in QUERIES): the shingle self-join is quadratic
+    in shingle frequency — a scale-killer at 100x data. The standing
+    oracle-backed entry is :func:`q_doc_minhash_lsh`, whose banded candidate
+    generation + exact verify produces the identical pair set
+    (cross-checked in tests/test_dedup.py and by the DuckDB oracle, which
+    is itself this brute-force computation)."""
     sh = _shingles(_docs(spark, sf_dir)).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -88,7 +96,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same output as :func:`q_doc_ngram_jaccard`, via MinHash LSH, but the
+    """Same output as :func:`brute_ngram_jaccard`, via MinHash LSH, but the
     whole signature stage is SHUFFLE-FREE: shingles stay a per-doc array
     column (``array_distinct``), the K minhashes are ``array_min`` over
     per-row ``transform``s (pure codegen, no groupBy), and exact
@@ -212,14 +220,12 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
         GROUP BY fp
     """,
-    "q_doc_ngram_jaccard": _JACCARD_SQL,
     "q_doc_minhash_lsh": _JACCARD_SQL,   # LSH+verify must equal brute force
     "q_doc_simhash": _SIMHASH_SQL,
 }
 
 QUERIES = {
     "q_doc_dedup_exact": q_doc_dedup_exact,
-    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
     "q_doc_minhash_lsh": q_doc_minhash_lsh,
     "q_doc_simhash": q_doc_simhash,
 }

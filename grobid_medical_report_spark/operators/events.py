@@ -123,18 +123,20 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     first_click = (ev.filter(F.col("event_type") == "click")
                    .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
-    purch = ev.filter(F.col("event_type") == "purchase") \
-              .select("user_id", "ts")
-    conv = (purch.join(first_click, "user_id")
+    clicks = (first_click
+              .agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit("click").alias("step"), "n_users"))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts")
+            .join(first_click, "user_id")
             .filter((F.col("ts") >= F.col("click_ts"))
                     & (F.col("ts") <= F.col("click_ts")
                        + F.expr("INTERVAL 7 DAYS")))
-            .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
-    n_click = first_click.count()
-    n_conv = conv.count()
-    return spark.createDataFrame(
-        [("click", n_click), ("click_then_purchase_7d", n_conv)],
-        "step string, n_users long")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.lit("click_then_purchase_7d").alias("step"), "n_users"))
+    # one lazy plan: both funnel steps are branches of the same DAG, union'd
+    # into the result frame — no driver-side .count() actions
+    return clicks.unionAll(conv)
 
 
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
