@@ -98,6 +98,15 @@ def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tei_df(_extracted(spark, sf_dir))
 
 
+def x_extract_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the layout-enriched corpus (SURVEY §1.1 token attrs:
+    font/size/bold/italic/x/y on every span): marker-less headings, bare
+    items and title-case doctypes are decided by the layout features
+    (tests/test_layout.py proves the text-only kernel fails on them)."""
+    return result_spans(extract(corpus_df(spark, _n_docs(spark, sf_dir),
+                                          layout=True)))
+
+
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grobid_medical_report_spark.operators.training import training_data
     return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
@@ -190,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketches.ROWS_ONLY_QUERIES)
     out.update({
         "x_extract_spans": x_extract_spans,
+        "x_extract_layout_spans": x_extract_layout_spans,
         "x_extract_header": x_extract_header,
         "x_extract_entities": x_extract_entities,
         "x_extract_zones": x_extract_zones,
@@ -223,6 +233,8 @@ def _golden(table: str, cols: str) -> str:
 _X_ORACLES = {
     "x_extract_spans": _golden(
         "expected_spans", 'doc_id, "order", kind, "text", media_ref'),
+    "x_extract_layout_spans": _golden(
+        "expected_spans_layout", 'doc_id, "order", kind, "text", media_ref'),
     "x_extract_header": _golden(
         "expected_header",
         'doc_id, docnum, doctype, date_iso, "time", dateline, medics, patients'),

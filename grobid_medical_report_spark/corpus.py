@@ -168,8 +168,38 @@ def _split_lines(rng: random.Random, text: str) -> list[str]:
 # whole-document generation
 # --------------------------------------------------------------------------
 
-def generate_doc(i: int) -> dict[str, Any]:
-    """Pure deterministic generator: index -> input + golden expected outputs."""
+#: layout style constants (SURVEY §1.1 LayoutToken attrs). Body prose sits at
+#: x=BODY_X; items indent by ITEM_INDENT; the doctype/title renders at
+#: body+TITLE_DSIZE pt, section headings at +SECTION_DSIZE, subsections at
+#: +SUBSECTION_DSIZE — the font-delta signals the reference's featurizers
+#: consume (FeaturesVectorMedical.java:56-226 font/size/bold features).
+BODY_X = 72.0
+LEFTNOTE_X = 40.0
+HEADER_X = 320.0
+PAGE_X = 510.0
+ITEM_INDENT = 28.0
+TITLE_DSIZE = 4.0
+SECTION_DSIZE = 2.0
+SUBSECTION_DSIZE = 1.0
+LINE_DY = 14.0
+TOP_Y = 72.0
+
+#: probability that a layout-mode heading/item/doctype drops its textual
+#: marker (colon / dash / all-caps) and is recognizable ONLY by its layout
+#: attributes — the phenomena that make the layout features load-bearing
+P_LAYOUT_ONLY = 0.35
+
+
+def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
+    """Pure deterministic generator: index -> input + golden expected outputs.
+
+    ``layout=False`` (default) is the authoritative text-only corpus from
+    BASELINE.json's input_hint — byte-stable across rounds. ``layout=True``
+    generates the layout-enriched twin: every line carries
+    (font, font_size, bold, italic, x, y) token attrs, and a fraction of
+    headings/items/doctypes drop their textual markers so that zone and
+    body-structure decisions REQUIRE the layout signals (title by
+    largest-font, heading by bold+font-delta, item by indentation)."""
     rng = random.Random((SEED << 32) ^ i)
     doc_id = doc_id_str(i)
 
@@ -188,6 +218,9 @@ def generate_doc(i: int) -> dict[str, Any]:
 
     # truth-labeled line stream: (label, text, media_ref, para_seq)
     lines: list[tuple[str, str, str, int]] = []
+    #: parallel per-line style tuples (font, size, bold, italic, x) — layout
+    #: mode only; y is assigned in a post-pass (resets at page breaks)
+    styles: list[tuple[str, float, bool, bool, float]] = []
     para_texts: list[str] = []                      # per generated paragraph
     para_entities: list[list[dict[str, Any]]] = []  # offsets into para text
     para_sentences: list[list[tuple[int, int]]] = []  # sentence char ranges
@@ -195,8 +228,49 @@ def generate_doc(i: int) -> dict[str, Any]:
     media_kinds: list[str] = []                     # kind per media index (1-based)
     media_count = 0
 
-    def emit(label: str, text: str, ref: str = "", pseq: int = -1) -> None:
+    body_font = rng.choice(["Times", "Garamond", "Helvetica"]) if layout else ""
+    body_size = float(rng.choice([10, 11])) if layout else 0.0
+
+    #: default per-label style: (dsize, bold, italic, x)
+    _LABEL_STYLE = {
+        "headnote": (-2.0, False, True, BODY_X),
+        "footnote": (-2.0, False, True, BODY_X),
+        "page": (-2.0, False, False, PAGE_X),
+        "header": (0.0, False, False, HEADER_X),
+        "leftnote": (-1.0, False, False, LEFTNOTE_X),
+        "section": (SECTION_DSIZE, True, False, BODY_X),
+        "subsection": (SUBSECTION_DSIZE, True, False, BODY_X),
+        "figure": (-1.0, False, True, BODY_X + 48.0),
+        "table": (-1.0, False, True, BODY_X + 48.0),
+        "item": (0.0, False, False, BODY_X + ITEM_INDENT),
+        "annex": (0.0, False, False, BODY_X),
+    }
+
+    def emit_section() -> None:
+        sec = rng.choice(lex.SECTIONS)
+        if layout and rng.random() < P_LAYOUT_ONLY:
+            # no colon, no all-caps: bold + font-delta is the only cue
+            emit("section", sec.title())
+        else:
+            emit("section", f"{sec} :")
+
+    def emit_subsection() -> None:
+        sub = rng.choice(lex.SUBSECTIONS)
+        if layout and rng.random() < P_LAYOUT_ONLY:
+            emit("subsection", sub)
+        else:
+            emit("subsection", f"{sub} :")
+
+    def emit(label: str, text: str, ref: str = "", pseq: int = -1,
+             dsize: float | None = None, bold: bool | None = None,
+             x: float | None = None) -> None:
         lines.append((label, text, ref, pseq))
+        if layout:
+            d, b, it, xx = _LABEL_STYLE.get(label, (0.0, False, False, BODY_X))
+            styles.append((body_font,
+                           body_size + (d if dsize is None else dsize),
+                           b if bold is None else bold, it,
+                           xx if x is None else x))
 
     # ---- page 1 front matter -------------------------------------------
     emit("headnote", headnote)
@@ -215,7 +289,11 @@ def generate_doc(i: int) -> dict[str, Any]:
     header["docnum"] = docnum
 
     doctype = rng.choice(lex.DOCTYPES)
-    emit("header", doctype)
+    if layout and rng.random() < P_LAYOUT_ONLY:
+        # title-case doctype: largest-font-in-header is the only title cue
+        # (reference A5 font statistics, HeaderMedicalParser.java:434-467)
+        doctype = doctype.capitalize()
+    emit("header", doctype, dsize=TITLE_DSIZE, bold=True)
     header["doctype"] = doctype
     header["title"] = doctype
 
@@ -288,13 +366,13 @@ def generate_doc(i: int) -> dict[str, Any]:
         if page > 1:
             emit("headnote", headnote)
         n_paras = rng.randrange(*paras_per_page)
-        emit("section", f"{rng.choice(lex.SECTIONS)} :")
+        emit_section()
         for _ in range(n_paras):
             roll = rng.random()
             if roll < 0.12:
-                emit("subsection", f"{rng.choice(lex.SUBSECTIONS)} :")
+                emit_subsection()
             elif roll < 0.20 and page == n_pages:
-                emit("section", f"{rng.choice(lex.SECTIONS)} :")
+                emit_section()
             p = _Para()
             sent_spans: list[tuple[int, int]] = []
             for _ in range(rng.randrange(1, 4)):
@@ -326,9 +404,13 @@ def generate_doc(i: int) -> dict[str, Any]:
                 emit("paragraph", text_line, pseq=pseq)
             extra = rng.random()
             if extra < 0.15:
+                # a bare item list drops the dash marker: indentation (x)
+                # is the only list cue — layout-mode-only phenomenon
+                bare = layout and rng.random() < P_LAYOUT_ONLY
                 for _ in range(rng.randrange(2, 5)):
-                    emit("item", f"- {rng.choice(lex.MEDICAMENT)} "
-                                 f"{rng.choice([150, 250, 500, 1000])} mg")
+                    t = (f"{rng.choice(lex.MEDICAMENT)} "
+                         f"{rng.choice([150, 250, 500, 1000])} mg")
+                    emit("item", t if bare else f"- {t}")
             elif extra < 0.25:
                 media_count += 1
                 ref = f"img_{doc_id}_{media_count}"
@@ -355,13 +437,26 @@ def generate_doc(i: int) -> dict[str, Any]:
         emit("page", f"{page}/{n_pages}")
 
     # ---- input spans -------------------------------------------------------
+    ys: list[float] = []
+    if layout:
+        y = TOP_Y
+        for lab, _t, _r, _p in lines:
+            ys.append(y)
+            y += LINE_DY
+            if lab == "page":      # page-number line closes the page
+                y = TOP_Y
     spans = []
     for off, (label, text, ref, _pseq) in enumerate(lines):
         is_media = label.startswith("media_")
-        spans.append({"kind": "media" if is_media else "text",
-                      "text": "" if is_media else text,
-                      "media_ref": ref if is_media else "",
-                      "offset": off})
+        sp = {"kind": "media" if is_media else "text",
+              "text": "" if is_media else text,
+              "media_ref": ref if is_media else "",
+              "offset": off}
+        if layout:
+            f, s, b, it, xx = styles[off]
+            sp.update({"font": f, "font_size": s, "bold": b, "italic": it,
+                       "x": xx, "y": ys[off]})
+        spans.append(sp)
 
     # ---- expected outputs (golden oracle) ----------------------------------
     expected_spans: list[dict[str, Any]] = []
@@ -441,6 +536,7 @@ def generate_doc(i: int) -> dict[str, Any]:
         "entities": expected_entities, "sentences": expected_sentences,
         "markers": expected_markers,
         "line_labels": [lab for lab, _, _, _ in lines],
+        "line_styles": styles if layout else [],
     }
 
 
@@ -453,8 +549,18 @@ INPUT_SCHEMA = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
+#: layout-enriched input: the same contract plus the SURVEY §1.1 LayoutToken
+#: attrs on every span (superset — consumers of the 4-field shape still work)
+INPUT_SCHEMA_LAYOUT = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int,"
+    "font:string,font_size:double,bold:boolean,italic:boolean,"
+    "x:double,y:double>>"
+)
 
-def corpus_df(spark, n_docs: int, partitions: int | None = None):
+
+def corpus_df(spark, n_docs: int, partitions: int | None = None,
+              layout: bool = False):
     """Input table ``(doc_id, spans)`` generated distributed via mapInPandas.
 
     ``spark.range`` gives a splittable seed column; generation happens on
@@ -475,13 +581,14 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            docs = [generate_doc(int(i)) for i in pdf["id"]]
+            docs = [generate_doc(int(i), layout=layout) for i in pdf["id"]]
             yield pd.DataFrame({
                 "doc_id": [d["doc_id"] for d in docs],
                 "spans": [d["spans"] for d in docs],
             })
 
-    return rng_df.mapInPandas(gen, schema=INPUT_SCHEMA)
+    return rng_df.mapInPandas(
+        gen, schema=INPUT_SCHEMA_LAYOUT if layout else INPUT_SCHEMA)
 
 
 def expected_docs(n_docs: int) -> list[dict[str, Any]]:

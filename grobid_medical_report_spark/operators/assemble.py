@@ -32,7 +32,14 @@ from .body import RE_LABEL_LINE, RE_SEPARATOR, label_body_line
 from .header import parse_header_zone
 from .leftnote import parse_leftnote_zone
 from .ner import extract_entities
-from .segmenter import segment_doc
+from .segmenter import (HEADING_DSIZE_HI, HEADING_DSIZE_LO, modal_size,
+                        segment_doc)
+
+#: sub-heading font-delta band (bold, below the section band) and the
+#: indentation threshold marking list items (reference indentation features,
+#: HeaderMedicalParser.java:550-563 lineStartX tracking)
+SUBSECTION_DSIZE_LO = 0.5
+ITEM_INDENT_MIN = 15.0
 
 #: output kinds whose contiguous runs merge into one span (corpus.MERGE_KINDS)
 MERGE_KINDS = {"header", "leftnote", "paragraph", "acknowledgement", "annex"}
@@ -49,13 +56,18 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
     """Full extraction for one document from struct-shaped spans. Thin
     adapter over :func:`extract_doc_arrays` — the distributed stage feeds
     the array form directly (the input crosses the Python boundary as
-    parallel primitive arrays, plans/pipeline.py)."""
+    parallel primitive arrays, plans/pipeline.py). Layout token attrs
+    (font_size/bold/x) are forwarded when the spans carry them."""
     spans = [] if spans is None else list(spans)  # Arrow hands a numpy array
     try:
         kinds = [s["kind"] for s in spans]
         texts = [s["text"] for s in spans]
         refs = [s["media_ref"] for s in spans]
         offsets = [s["offset"] for s in spans]
+        has_layout = bool(spans) and "font_size" in spans[0]
+        sizes = [s["font_size"] for s in spans] if has_layout else None
+        bolds = [s["bold"] for s in spans] if has_layout else None
+        xs = [s["x"] for s in spans] if has_layout else None
     except Exception as exc:  # malformed span dicts (S3 isolation)
         return {
             "doc_id": doc_id, "spans": [], "zones": [], "header": None,
@@ -65,13 +77,17 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
             "status": f"error: {type(exc).__name__}: {exc}",
         }
     return extract_doc_arrays(doc_id, kinds, texts, refs, offsets,
-                              max_spans=max_spans, first_chunk=first_chunk)
+                              max_spans=max_spans, first_chunk=first_chunk,
+                              sizes=sizes, bolds=bolds, xs=xs)
 
 
 def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
                        refs_raw: list[str], offsets: list[int],
                        max_spans: int | None = None,
-                       first_chunk: bool = True) -> dict[str, Any]:
+                       first_chunk: bool = True,
+                       sizes: list[float] | None = None,
+                       bolds: list[bool] | None = None,
+                       xs: list[float] | None = None) -> dict[str, Any]:
     """Full extraction for one document. Never raises: failures and oversize
     docs are routed to ``status`` (per-row failure isolation, SURVEY.md S3;
     oversize guard P3 analog of getPdfTokensMax)."""
@@ -95,21 +111,52 @@ def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
         refs = [refs_raw[i] or "" for i in order]
         is_media = np.array([kinds[i] == "media" for i in order], dtype=bool)
 
+        # optional layout attrs (SURVEY §1.1), reading-ordered like texts
+        lay = None
+        if sizes is not None:
+            lay = {
+                "size": np.array([float(sizes[i] or 0.0) for i in order]),
+                "bold": np.array([bool(bolds[i]) for i in order]),
+                "x": np.array([float(xs[i] or 0.0) for i in order]),
+            }
+
         # stage 1: segmentation (coarse zones per line)
-        zone_labels = segment_doc(texts, is_media, first_chunk)
+        zone_labels = segment_doc(texts, is_media, first_chunk, layout=lay)
         base["zones"] = _rle(zone_labels)
 
-        # stage 2: body model -> fine label per line
+        # stage 2: body model -> fine label per line; with layout attrs,
+        # marker-less headings/items resolve via bold+font-delta bands and
+        # indentation vs the body margin (the reference's font/position
+        # features, FeaturesVectorMedical.java:56-226)
+        if lay is not None:
+            modal = modal_size(lay["size"], is_media)
+            body_tx = [i for i, z in enumerate(zone_labels)
+                       if z == "body" and not is_media[i]]
+            # the body LEFT MARGIN is the minimum x over body text lines
+            # (headings/paragraphs sit on it; items indent off it) — a
+            # median would drift into the indent when items dominate a page
+            body_x = (float(np.min(lay["x"][body_tx])) if body_tx else 0.0)
         fine = list(zone_labels)
         for i, z in enumerate(zone_labels):
             if z == "body":
                 prev_media = bool(i > 0 and is_media[i - 1]
                                   and zone_labels[i - 1] == "body")
                 fine[i] = label_body_line(texts[i], bool(is_media[i]), prev_media)
+                if lay is not None and fine[i] == "paragraph":
+                    d = lay["size"][i] - modal
+                    if lay["bold"][i] and HEADING_DSIZE_LO <= d <= HEADING_DSIZE_HI:
+                        fine[i] = "section"
+                    elif lay["bold"][i] and SUBSECTION_DSIZE_LO <= d < HEADING_DSIZE_LO:
+                        fine[i] = "subsection"
+                    elif lay["x"][i] - body_x >= ITEM_INDENT_MIN:
+                        fine[i] = "item"
 
         # stage 3: header / left-note field models + sub-entity cascade
-        hdr = parse_header_zone([texts[i] for i, z in enumerate(zone_labels)
-                                 if z == "header"])
+        hdr_idx = [i for i, z in enumerate(zone_labels) if z == "header"]
+        hdr = parse_header_zone(
+            [texts[i] for i in hdr_idx],
+            sizes=[float(lay["size"][i]) for i in hdr_idx] if lay is not None
+            else None)
         base["header"] = hdr["header"]
         base["medics"] = hdr["medics"]
         base["patients"] = hdr["patients"]

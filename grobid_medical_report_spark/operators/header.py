@@ -41,9 +41,21 @@ def parse_person_name(persname: str) -> dict[str, str]:
             "surname": surname, "suffix": ""}
 
 
-def parse_header_zone(lines: list[str]) -> dict[str, Any]:
-    """Header lines -> (header struct, medics, patients, datelines, person_names)."""
+def parse_header_zone(lines: list[str],
+                      sizes: list[float] | None = None) -> dict[str, Any]:
+    """Header lines -> (header struct, medics, patients, datelines, person_names).
+
+    ``sizes`` optionally carries per-line font sizes: a line whose font is
+    the zone's largest (by >= 3 pt over the smallest) is the title/doctype
+    even without the all-caps textual shape — the reference's font
+    statistics over the header zone (A5, HeaderMedicalParser.java:434-467:
+    largest-font block -> title candidate)."""
     h = dict(_EMPTY_HEADER)
+    largest: set[int] = set()
+    if sizes:
+        mx, mn = max(sizes), min(sizes)
+        if mx - mn >= 3.0:
+            largest = {i for i, s in enumerate(sizes) if s == mx}
     medics: list[dict[str, Any]] = []
     patients: list[dict[str, Any]] = []
     datelines: list[dict[str, Any]] = []
@@ -63,7 +75,7 @@ def parse_header_zone(lines: list[str]) -> dict[str, Any]:
             patients.append(cur_patient)
         return cur_patient
 
-    for raw in lines:
+    for li, raw in enumerate(lines):
         t = normalize_space(raw)
         if RE_DOCNUM.fullmatch(t):
             h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
@@ -114,7 +126,7 @@ def parse_header_zone(lines: list[str]) -> dict[str, Any]:
             p = patient()
             p["address"] = merge_field(p["address"], t.split(":", 1)[1].strip())
             continue
-        if RE_DOCTYPE.fullmatch(t):
+        if RE_DOCTYPE.fullmatch(t) or li in largest:
             h["doctype"] = merge_field(h["doctype"], t)
             h["title"] = h["doctype"]
             continue

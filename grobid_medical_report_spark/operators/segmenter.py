@@ -135,9 +135,40 @@ _TRANS[_Z["annex_b"], _Z["annex_i"]] = 0.2
 _TRANS[_Z["annex_i"], _Z["annex_i"]] = 0.2
 
 
+#: layout font-delta bands (vs the modal/body font size): a bold line
+#: +1.5..+3 pt is a section heading, bold >= +3.5 pt is the title/doctype —
+#: the reference's font-size/bold features (FeaturesVectorMedical.java
+#: HIGHERFONT/bold, HeaderMedicalParser largest-font logic :434-467)
+HEADING_DSIZE_LO, HEADING_DSIZE_HI = 1.5, 3.0
+TITLE_DSIZE_MIN = 3.5
+
+
+def modal_size(sizes: np.ndarray, is_media: np.ndarray) -> float:
+    """Most common font size over text lines — the doc's body size (the
+    reference's doc-level font statistics, F4/A5)."""
+    vals, cnts = np.unique(sizes[~is_media], return_counts=True)
+    return float(vals[np.argmax(cnts)]) if len(vals) else 0.0
+
+
+def _heading_mask(layout: dict | None, is_media: np.ndarray) -> np.ndarray | None:
+    """Bold + section-band font delta -> layout-detected heading lines
+    (recognizes headings that carry no textual marker)."""
+    if layout is None:
+        return None
+    delta = layout["size"] - modal_size(layout["size"], is_media)
+    return (layout["bold"] & (delta >= HEADING_DSIZE_LO)
+            & (delta <= HEADING_DSIZE_HI) & ~is_media)
+
+
 def _emissions(texts: list[str], is_media: np.ndarray,
-               first_chunk: bool = True) -> np.ndarray:
-    """Lines x zones emission score matrix (the featurize+score half of C1)."""
+               first_chunk: bool = True,
+               layout: dict | None = None) -> np.ndarray:
+    """Lines x zones emission score matrix (the featurize+score half of C1).
+
+    ``layout`` optionally carries per-line numpy arrays ``size``/``bold``/
+    ``x`` (the SURVEY §1.1 token attrs); when present, the front-matter gate
+    also recognizes section headings by bold+font-delta, so a heading with
+    no textual marker still closes the header/left-note region."""
     n = len(texts)
     em = np.zeros((n, len(STATES)), dtype=np.float64)
     em[:, _Z["body"]] = 1.0          # default label
@@ -158,10 +189,13 @@ def _emissions(texts: list[str], is_media: np.ndarray,
         if t:
             counts[t] = counts.get(t, 0) + 1
 
-    # front gate: on page 1, before the first section heading
+    # front gate: on page 1, before the first section heading (textual
+    # marker OR layout bold+font-delta)
+    heading = _heading_mask(layout, is_media)
     first_section = n
     for i, t in enumerate(texts):
-        if RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t):
+        if (RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t)) \
+                or (heading is not None and heading[i]):
             first_section = i
             break
 
@@ -248,13 +282,15 @@ def _viterbi_annex(em: np.ndarray) -> np.ndarray:
 
 
 def segment_doc(texts: list[str], is_media: np.ndarray,
-                first_chunk: bool = True) -> list[str]:
+                first_chunk: bool = True,
+                layout: dict | None = None) -> list[str]:
     """Coarse zone label per input line. ``first_chunk=False`` disables the
     front-matter gate for page-chunked giant-doc processing (header/left-note
-    live on page 1, i.e. in chunk 0 only — the P1 page-scope analog)."""
+    live on page 1, i.e. in chunk 0 only — the P1 page-scope analog).
+    ``layout`` optionally carries per-line size/bold/x arrays."""
     if not texts:
         return []
-    em = _emissions(texts, is_media, first_chunk)
+    em = _emissions(texts, is_media, first_chunk, layout)
     # fast path: without an ANNEXE marker the transition matrix is inert
     # (annex_i emission 0.9 never beats body 1.0; annex_b is -inf), so the
     # Viterbi path is the per-line argmax — skip the O(L*K^2) DP

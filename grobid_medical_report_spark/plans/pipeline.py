@@ -98,14 +98,23 @@ def _extract_batches(max_spans: int | None):
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            n_rows = len(pdf)
             firsts = (pdf["first_chunk"] if "first_chunk" in pdf.columns
-                      else [True] * len(pdf))
+                      else [True] * n_rows)
+            has_lay = "in_sizes" in pdf.columns
+            szs = pdf["in_sizes"] if has_lay else [None] * n_rows
+            bds = pdf["in_bolds"] if has_lay else [None] * n_rows
+            xxs = pdf["in_xs"] if has_lay else [None] * n_rows
             rows = [extract_doc_arrays(d, _l(k), _l(t), _l(r), _l(o),
                                        max_spans=max_spans,
-                                       first_chunk=bool(fc))
-                    for d, k, t, r, o, fc in zip(
+                                       first_chunk=bool(fc),
+                                       sizes=None if sz is None else _l(sz),
+                                       bolds=None if bd is None else _l(bd),
+                                       xs=None if xx is None else _l(xx))
+                    for d, k, t, r, o, fc, sz, bd, xx in zip(
                         pdf["doc_id"], pdf["in_kinds"], pdf["in_texts"],
-                        pdf["in_refs"], pdf["in_offsets"], firsts)]
+                        pdf["in_refs"], pdf["in_offsets"], firsts,
+                        szs, bds, xxs)]
             for r in rows:
                 sps, ents, sents = r["spans"], r["entities"], r["sentences"]
                 r["n_pages"] = sum(1 for sp in sps if sp["kind"] == "page")
@@ -198,6 +207,15 @@ def extract(df: DataFrame, max_spans: int | None = 200_000,
         F.transform("spans", lambda s: s["media_ref"]).alias("in_refs"),
         F.transform("spans", lambda s: s["offset"]).alias("in_offsets"),
     ]
+    # layout-enriched input (SURVEY §1.1 token attrs): forward the
+    # kernel-consumed attrs as flat primitive arrays like the text columns
+    span_fields = df.schema["spans"].dataType.elementType.names
+    if "font_size" in span_fields:
+        flat_in += [
+            F.transform("spans", lambda s: s["font_size"]).alias("in_sizes"),
+            F.transform("spans", lambda s: s["bold"]).alias("in_bolds"),
+            F.transform("spans", lambda s: s["x"]).alias("in_xs"),
+        ]
     if "first_chunk" in df.columns:
         flat_in.append(F.col("first_chunk"))
     df = df.select(*flat_in)

@@ -36,7 +36,8 @@ def test_golden_oracles_registered():
 
     oracles = entry.oracle_sql()
     queries = entry.queries()
-    for name in ("x_extract_spans", "x_extract_header", "x_extract_entities",
+    for name in ("x_extract_spans", "x_extract_layout_spans",
+                 "x_extract_header", "x_extract_entities",
                  "x_extract_zones", "x_extract_sentences", "x_extract_markers"):
         assert name in oracles and name in queries
         assert "read_parquet" in oracles[name]

@@ -26,7 +26,8 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from grobid_medical_report_spark.corpus import expected_docs  # noqa: E402
+from grobid_medical_report_spark.corpus import (expected_docs,  # noqa: E402
+                                                generate_doc)
 
 N_DOCS = 500
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -90,11 +91,26 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
             marks["marker_kind"].append(m["marker_kind"])
             marks["target"].append(m["target"])
 
+    # layout-corpus twin: the expected span sequence when extraction runs
+    # over the layout-enriched input (marker-less headings/items/doctypes
+    # resolvable only via font/bold/indent attrs — tests/test_layout.py)
+    lspans = {"doc_id": [], "order": [], "kind": [], "text": [],
+              "media_ref": []}
+    for i in range(n_docs):
+        d = generate_doc(i, layout=True)
+        for sp in d["expected_spans"]:
+            lspans["doc_id"].append(d["doc_id"])
+            lspans["order"].append(sp["order"])
+            lspans["kind"].append(sp["kind"])
+            lspans["text"].append(sp["text"])
+            lspans["media_ref"].append(sp["media_ref"])
+
     def tbl(cols: dict, int_cols: set[str]) -> pa.Table:
         return pa.table({k: pa.array(v, type=_i32 if k in int_cols else _str)
                          for k, v in cols.items()})
 
     return {
+        "expected_spans_layout": tbl(lspans, {"order"}),
         "expected_spans": tbl(spans, {"order"}),
         "expected_header": tbl(header, set()),
         "expected_entities": tbl(ents, {"start_char", "end_char", "span_order"}),
