@@ -23,6 +23,8 @@ Pure numpy/regex — runs inside ``mapInPandas`` batches, no Spark imports.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from functools import lru_cache
 
@@ -160,10 +162,12 @@ def _heading_mask(layout: dict | None, is_media: np.ndarray) -> np.ndarray | Non
             & (delta <= HEADING_DSIZE_HI) & ~is_media)
 
 
-def _emissions(texts: list[str], is_media: np.ndarray,
-               first_chunk: bool = True,
-               layout: dict | None = None) -> np.ndarray:
-    """Lines x zones emission score matrix (the featurize+score half of C1).
+def _emissions_rules(texts: list[str], is_media: np.ndarray,
+                     first_chunk: bool = True,
+                     layout: dict | None = None) -> np.ndarray:
+    """Hand-tuned emission scores — the engineered twin of the FITTED model
+    (``_emissions_fitted``), kept for A/B regression (tests assert both
+    decode to the same labels on the golden corpora).
 
     ``layout`` optionally carries per-line numpy arrays ``size``/``bold``/
     ``x`` (the SURVEY §1.1 token attrs); when present, the front-matter gate
@@ -221,6 +225,128 @@ def _emissions(texts: list[str], is_media: np.ndarray,
                 em[i, _Z["header"]] = 8.0
             else:
                 em[i, _Z["header"]] = 4.0   # unrecognized front matter -> header
+    return em
+
+
+# --------------------------------------------------------------------------
+# fitted sequence model (the reference's train->decode loop,
+# MedicalReportTrainerRunner.java:19-80): per-line FEATURES -> learned
+# emission weights (averaged-free structured perceptron, fitted to zero
+# training errors by tools/train_segmenter.py) -> the SAME Viterbi decode.
+# Transitions stay the engineered B-I structural constraint (_TRANS) — the
+# analog of a CRF template constraint — so the O(n*k) decode specialization
+# remains exact.
+# --------------------------------------------------------------------------
+
+FEATURES = (
+    "bias", "m_page", "m_headnote", "m_footnote", "m_ack", "m_annex",
+    "is_media", "repeat", "front", "front_left", "front_hdr", "front_other",
+    "bold", "d_title", "d_heading", "d_sub", "d_small",
+    "x_left", "x_right", "x_far",
+)
+_FI = {f: i for i, f in enumerate(FEATURES)}
+
+MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models", "segmenter_model.json")
+
+
+def line_features(texts: list[str], is_media: np.ndarray,
+                  first_chunk: bool = True,
+                  layout: dict | None = None) -> np.ndarray:
+    """(lines x FEATURES) binary matrix — the F2/F3 feature subset shared by
+    training (tools/train_segmenter.py) and inference. Content patterns,
+    page-position front gate, repetition counts, and (when present) the
+    layout attr bands of SURVEY §1.1."""
+    n = len(texts)
+    X = np.zeros((n, len(FEATURES)), dtype=np.float64)
+    X[:, _FI["bias"]] = 1.0
+    X[:, _FI["is_media"]] = is_media
+
+    mains = [None if is_media[i] else _main_kind(texts[i]) for i in range(n)]
+    page_mark = np.fromiter((g == "page" for g in mains), dtype=bool, count=n)
+    page_idx = np.concatenate(([0], np.cumsum(page_mark)[:-1]))
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        if t:
+            counts[t] = counts.get(t, 0) + 1
+
+    heading = _heading_mask(layout, is_media)
+    first_section = n
+    for i, t in enumerate(texts):
+        if (RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t)) \
+                or (heading is not None and heading[i]):
+            first_section = i
+            break
+
+    for i, t in enumerate(texts):
+        if is_media[i]:
+            continue
+        g = mains[i]
+        if g is not None:
+            X[i, _FI[f"m_{g}"]] = 1.0
+        if counts.get(t, 0) >= 2:
+            X[i, _FI["repeat"]] = 1.0
+        if first_chunk and page_idx[i] == 0 and i < first_section and g is None:
+            X[i, _FI["front"]] = 1.0
+            left = bool(RE_LEFT.match(t))
+            hdr = bool(RE_HDR.match(t))
+            if left:
+                X[i, _FI["front_left"]] = 1.0
+            if hdr:
+                X[i, _FI["front_hdr"]] = 1.0
+            if not (left or hdr):
+                X[i, _FI["front_other"]] = 1.0
+
+    if layout is not None:
+        delta = layout["size"] - modal_size(layout["size"], is_media)
+        x = layout["x"]
+        tx = ~is_media
+        X[:, _FI["bold"]] = layout["bold"] & tx
+        X[:, _FI["d_title"]] = (delta >= TITLE_DSIZE_MIN) & tx
+        X[:, _FI["d_heading"]] = ((delta >= HEADING_DSIZE_LO)
+                                  & (delta <= HEADING_DSIZE_HI) & tx)
+        X[:, _FI["d_sub"]] = (delta >= 0.5) & (delta < HEADING_DSIZE_LO) & tx
+        X[:, _FI["d_small"]] = (delta <= -1.5) & tx
+        X[:, _FI["x_left"]] = (x < 60.0) & tx
+        X[:, _FI["x_right"]] = (x > 250.0) & tx
+        X[:, _FI["x_far"]] = (x > 450.0) & tx
+    return X
+
+
+def annex_marker_mask(texts: list[str], is_media: np.ndarray) -> np.ndarray:
+    """Structural gate: ``annex_b`` is emittable only at an ANNEXE marker
+    line (the B- of the B-I constraint)."""
+    n = len(texts)
+    return np.fromiter(
+        (not is_media[i] and _main_kind(texts[i]) == "annex"
+         for i in range(n)), dtype=bool, count=n)
+
+
+_MODEL_W: np.ndarray | None = None
+
+
+def _model_weights() -> np.ndarray:
+    """Learned (states x FEATURES) emission weights, fitted by
+    tools/train_segmenter.py and committed as a model artifact."""
+    global _MODEL_W
+    if _MODEL_W is None:
+        with open(MODEL_PATH) as f:
+            m = json.load(f)
+        assert m["states"] == STATES and tuple(m["features"]) == FEATURES, \
+            "segmenter_model.json is stale — rerun tools/train_segmenter.py"
+        _MODEL_W = np.array(m["W"], dtype=np.float64)
+    return _MODEL_W
+
+
+def _emissions_fitted(texts: list[str], is_media: np.ndarray,
+                      first_chunk: bool = True,
+                      layout: dict | None = None,
+                      W: np.ndarray | None = None) -> np.ndarray:
+    X = line_features(texts, is_media, first_chunk, layout)
+    em = X @ (W if W is not None else _model_weights()).T
+    em[~annex_marker_mask(texts, is_media), _Z["annex_b"]] = -1e9
     return em
 
 
@@ -283,14 +409,22 @@ def _viterbi_annex(em: np.ndarray) -> np.ndarray:
 
 def segment_doc(texts: list[str], is_media: np.ndarray,
                 first_chunk: bool = True,
-                layout: dict | None = None) -> list[str]:
+                layout: dict | None = None,
+                use_rules: bool = False) -> list[str]:
     """Coarse zone label per input line. ``first_chunk=False`` disables the
     front-matter gate for page-chunked giant-doc processing (header/left-note
     live on page 1, i.e. in chunk 0 only — the P1 page-scope analog).
-    ``layout`` optionally carries per-line size/bold/x arrays."""
+    ``layout`` optionally carries per-line size/bold/x arrays.
+
+    The default scorer is the FITTED model (weights learned from the golden
+    training set, tools/train_segmenter.py); ``use_rules=True`` selects the
+    hand-tuned twin for A/B regression."""
     if not texts:
         return []
-    em = _emissions(texts, is_media, first_chunk, layout)
+    if use_rules:
+        em = _emissions_rules(texts, is_media, first_chunk, layout)
+    else:
+        em = _emissions_fitted(texts, is_media, first_chunk, layout)
     # fast path: without an ANNEXE marker the transition matrix is inert
     # (annex_i emission 0.9 never beats body 1.0; annex_b is -inf), so the
     # Viterbi path is the per-line argmax — skip the O(L*K^2) DP
