@@ -111,7 +111,9 @@ def _sentence(rng: random.Random, p: _Para) -> None:
         p.ent("unit", "ans").lit(", née le ")
         p.ent("date", _rand_date(rng)).lit(".")
     elif t == 4:
-        p.ent("procedure", "Échographie").lit(" du ")
+        # "Échographie du <date>" is NOT tagged by the reference model
+        # (processFrenchMedicalNERFromPDF.xml) — mirror in the golden corpus
+        p.lit("Échographie du ")
         p.ent("date", f"{rng.randrange(1, 29):02d}/{rng.randrange(1, 13):02d}").lit(" (")
         p.ent("persname", f"Dr {rng.choice(lex.LAST_NAMES).title()}").lit(") : ")
         p.ent("procedure", "diagnostic").lit(" de ")

