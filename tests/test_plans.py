@@ -37,6 +37,16 @@ def test_minhash_lsh_no_cartesian_no_sortmerge(spark, queries):
     assert "BroadcastHashJoin" in p
 
 
+def test_near_dup_blocked_gemm_no_pair_join(spark, queries):
+    """q_emb_near_dup must stay a blocked GEMM: no row-pair join of any
+    kind — the pair work lives inside the grouped Python stage."""
+    p = _plan(queries["q_emb_near_dup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, "all-pairs broadcast is back"
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "FlatMapGroupsInPandas" in p, "applyInPandas stage missing"
+
+
 def test_tfidf_broadcasts_df_table_and_group_limits(spark, queries):
     p = _plan(queries["q_doc_tfidf_top_terms"](spark, SF))
     assert "BroadcastHashJoin" in p, "document-frequency table not broadcast"
