@@ -16,15 +16,24 @@ lexicon + regex matcher:
   medicament entity, matching the reference fixture
   (processFrenchMedicalNERFromText.xml: "Daptomycine 1500 mg",
   "Linézolide 600 mg *2");
-* greedy left-to-right longest-match conflict resolution.
+* conflict resolution is a FITTED token-level BIO tagger (the reference's
+  fr-medical-ner is a trained CRF): candidate occurrences become token
+  features, emission weights are learned by tools/train_ner.py (structured
+  perceptron, zero train errors), decoded by a structural-BIO Viterbi
+  restricted to the candidate-covered segments (hot-path form). The greedy
+  longest-match rule resolver remains as the A/B twin
+  (:func:`extract_entities_rules`); both are asserted entity-identical on
+  the golden corpora and the reference fixtures (tests/test_fitted_ner.py).
 
 Entity spans carry char offsets into the paragraph span text; correctness is
-asserted against the reference's NER text fixture verbatim
-(tests/test_ner_fixture.py) and against the synthetic golden corpus.
+asserted against both reference NER fixtures verbatim
+(tests/test_ner_fixture.py, tests/test_ner_pdf_fixture.py) and against the
+synthetic golden corpus.
 """
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any
 
@@ -90,26 +99,11 @@ _LEX_RX_IC = re.compile(_LEX_RX.pattern, re.IGNORECASE)
 from functools import lru_cache
 
 
-@lru_cache(maxsize=65536)
-def extract_entities(text: str) -> list[dict[str, Any]]:
-    """All NER entities in one paragraph text, left-to-right, non-overlapping.
-
-    Memoized per worker: real corpora repeat boilerplate lines heavily (the
-    seeded corpus measures ~58% duplicate spans), and the function is pure.
-    CALLERS MUST NOT MUTATE the returned list/dicts (both call sites copy).
-    Candidates carry their sort key inline — (start, -len, priority, ...) —
-    so the greedy-resolution sort is a C-level tuple sort with no key
-    callable (was ~300k lambda calls per 2k docs)."""
-    # label-shaped heading lines ("DIAGNOSTIC :", "Anesthésie pratiquée :")
-    # carry no entities in the reference's expected outputs
-    if text.endswith(":"):
-        return []
-    # reference-model artifact mirrored verbatim: an all-dash separator line
-    # is tagged <pathology> from its second char (FromPDF fixture)
-    if RE_ALL_DASH.fullmatch(text):
-        return [{"type": "pathology", "text": text[1:],
-                 "start": 1, "end": len(text)}]
-
+def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
+    """All entity CANDIDATES of one paragraph text, sort-key inline:
+    (start, -len, priority, end, type, surface). The generation half shared
+    by the rule resolver (greedy longest-match) and the FITTED BIO tagger
+    (candidate-derived token features)."""
     # (start, -len, priority, end, type, surface)
     cands: list[tuple[int, int, int, int, str, str]] = []
 
@@ -160,13 +154,321 @@ def extract_entities(text: str) -> list[dict[str, Any]]:
             s, e = m.start(), m.end()
             cands.append((s, s - e, _PRIORITY["rolename"], e, "rolename",
                           m.group(0)))
-
-    # greedy left-to-right, longest-match, priority tie-break
     cands.sort()
+    return cands
+
+
+def _shortcut(text: str) -> list[dict[str, Any]] | None:
+    """Structural pre-rules shared by both resolvers (reference expected-
+    output quirks): label-shaped heading lines ('DIAGNOSTIC :') carry no
+    entities; an all-dash separator line is tagged <pathology> from its
+    second char (FromPDF fixture)."""
+    if text.endswith(":"):
+        return []
+    if RE_ALL_DASH.fullmatch(text):
+        return [{"type": "pathology", "text": text[1:],
+                 "start": 1, "end": len(text)}]
+    return None
+
+
+@lru_cache(maxsize=65536)
+def extract_entities_rules(text: str) -> list[dict[str, Any]]:
+    """Rule-based resolution: greedy left-to-right, longest-match, priority
+    tie-break — the engineered twin of the FITTED tagger
+    (:func:`extract_entities`); both are asserted equal on the golden
+    corpora and the reference fixtures (tests/test_fitted_ner.py).
+
+    Memoized per worker: real corpora repeat boilerplate lines heavily (the
+    seeded corpus measures ~58% duplicate spans), and the function is pure.
+    CALLERS MUST NOT MUTATE the returned list/dicts (call sites copy)."""
+    short = _shortcut(text)
+    if short is not None:
+        return short
     out: list[dict[str, Any]] = []
     taken_until = -1
-    for s, _neg, _pri, e, cat, surface in cands:
+    for s, _neg, _pri, e, cat, surface in candidates(text):
         if s > taken_until:
             out.append({"type": cat, "text": surface, "start": s, "end": e})
             taken_until = e - 1
     return out
+
+
+# --------------------------------------------------------------------------
+# fitted BIO tagger (the reference's fr-medical-ner is a TRAINED CRF,
+# FrenchMedicalNERParser.java:79-271): token-level B-/I-/O decode with
+# weights learned by tools/train_ner.py from the golden corpus + the
+# reference fixture annotations. Candidate occurrences become token
+# features; the perceptron learns the resolution (longest-match bias,
+# category priorities) that the rule twin hard-codes.
+# --------------------------------------------------------------------------
+
+NER_TYPES = ("medicament", "pathology", "symptom", "physiology", "procedure",
+             "anatomy", "substance", "device", "persname", "perstype",
+             "location", "rolename", "date", "value", "unit")
+NER_STATES = ("O",) + tuple(f"{b}-{t}" for t in NER_TYPES for b in "BI")
+_NS = {s: i for i, s in enumerate(NER_STATES)}
+
+RE_TOKEN = re.compile(r"\w+|[^\w\s]")
+
+NER_FEATURES = ("bias", "cap", "digit", "punct") + tuple(
+    f"cb_{t}" for t in NER_TYPES) + tuple(f"ci_{t}" for t in NER_TYPES)
+_NF = {f: i for i, f in enumerate(NER_FEATURES)}
+
+NER_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models", "ner_model.json")
+
+
+def tokenize(text: str) -> list[tuple[int, int]]:
+    """Word / single-punctuation tokens with char offsets (the GROBID-style
+    tokenization entity spans align to)."""
+    return [(m.start(), m.end()) for m in RE_TOKEN.finditer(text)]
+
+
+def token_features(text: str, toks: list[tuple[int, int]],
+                   cands: list[tuple[int, int, int, int, str, str]]):
+    """(tokens x NER_FEATURES) binary matrix: shape flags + candidate
+    begin/inside marks per entity type."""
+    import numpy as np
+
+    n = len(toks)
+    X = np.zeros((n, len(NER_FEATURES)), dtype=np.float64)
+    X[:, _NF["bias"]] = 1.0
+    starts = {s: i for i, (s, _e) in enumerate(toks)}
+    for i, (s, e) in enumerate(toks):
+        c = text[s]
+        if c.isupper():
+            X[i, _NF["cap"]] = 1.0
+        if c.isdigit():
+            X[i, _NF["digit"]] = 1.0
+        if not c.isalnum():
+            X[i, _NF["punct"]] = 1.0
+    for s, _neg, _pri, e, cat, _surf in cands:
+        i0 = starts.get(s)
+        if i0 is None:
+            continue
+        X[i0, _NF[f"cb_{cat}"]] = 1.0
+        j = i0 + 1
+        while j < n and toks[j][1] <= e:
+            X[j, _NF[f"ci_{cat}"]] = 1.0
+            j += 1
+    return X
+
+
+def _bio_decode(em) -> list[int]:
+    """Max-score BIO path, O(n*k): transitions are structural only (I-t
+    reachable from B-t/I-t, score 0; everything else free), so the best
+    predecessor is the global argmax except for I-states' two-way choice."""
+    import numpy as np
+
+    n, k = em.shape
+    dp = em[0].copy()
+    # first token cannot be I-*
+    dp[2::2] = -1e9
+    back = np.zeros((n, k), dtype=np.int32)
+    idx_b = np.arange(1, k, 2)          # B-t states
+    idx_i = np.arange(2, k, 2)          # I-t states
+    for i in range(1, n):
+        g = int(dp.argmax())
+        m = dp[g]
+        prev_b = dp[idx_b]
+        prev_i = dp[idx_i]
+        use_b = prev_b >= prev_i
+        i_base = np.where(use_b, prev_b, prev_i)
+        back[i, :] = g
+        back[i, idx_i] = np.where(use_b, idx_b, idx_i)
+        dp = m + em[i]
+        dp[idx_i] = i_base + em[i, idx_i]
+    path = [0] * n
+    path[-1] = int(dp.argmax())
+    for i in range(n - 1, 0, -1):
+        path[i - 1] = int(back[i, path[i]])
+    return path
+
+
+_NER_W = None
+
+
+def _ner_weights():
+    global _NER_W
+    if _NER_W is None:
+        import json
+
+        import numpy as np
+        with open(NER_MODEL_PATH) as f:
+            m = json.load(f)
+        assert tuple(m["states"]) == NER_STATES \
+            and tuple(m["features"]) == NER_FEATURES, \
+            "ner_model.json is stale — rerun tools/train_ner.py"
+        _NER_W = np.array(m["W"], dtype=np.float64)
+    return _NER_W
+
+
+def _path_to_entities(text: str, toks: list[tuple[int, int]],
+                      path: list[int]) -> list[dict[str, Any]]:
+    out: list[dict[str, Any]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        st = NER_STATES[path[i]]
+        if st.startswith("B-"):
+            cat = st[2:]
+            j = i + 1
+            while j < n and NER_STATES[path[j]] == f"I-{cat}":
+                j += 1
+            s, e = toks[i][0], toks[j - 1][1]
+            out.append({"type": cat, "text": text[s:e], "start": s, "end": e})
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def decode_entities_full(text: str, W=None) -> list[dict[str, Any]]:
+    """Whole-sequence BIO decode — the decode used at TRAINING time; kept
+    as the exactness reference for the segment-restricted hot path."""
+    toks = tokenize(text)
+    if not toks:
+        return []
+    cands = candidates(text)
+    if not cands:
+        return []
+    X = token_features(text, toks, cands)
+    em = X @ (W if W is not None else _ner_weights()).T
+    return _path_to_entities(text, toks, _bio_decode(em))
+
+
+_NER_WL: list[list[float]] | None = None
+
+
+def _ner_weights_list() -> list[list[float]]:
+    """The learned weights as nested Python lists — the segment decode is
+    pure-Python float arithmetic (numpy per-tiny-segment overhead measured
+    ~4x the whole kernel's useful work)."""
+    global _NER_WL
+    if _NER_WL is None:
+        _NER_WL = [list(row) for row in _ner_weights()]
+    return _NER_WL
+
+
+_IB, _IC = _NF["bias"], _NF["cap"]
+_ID, _IP = _NF["digit"], _NF["punct"]
+
+
+def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
+    """Fitted-path resolution, segment-restricted: entities can only be
+    emitted on candidate-covered tokens (gold annotations are candidate
+    sub-sequences by construction, and the trained weights keep bare tokens
+    at O), so the BIO decode runs per MERGED CANDIDATE INTERVAL and over
+    only {O} + the B-/I- states of the categories present in that
+    interval's candidates — tokenization, feature lookups and the DP all
+    touch a handful of tokens x states in pure Python. Equality with the
+    whole-sequence numpy decode (the training-time decode) is pinned on the
+    golden corpora and both reference fixtures
+    (tests/test_fitted_ner.py::test_segment_restricted_decode_equals_full)."""
+    cands = candidates(text)
+    if not cands:
+        return []
+    WL = (_ner_weights_list() if W is None
+          else [list(row) for row in W])
+    ivs: list[list[int]] = []
+    for c in cands:                       # sorted by start
+        s, e = c[0], c[3]
+        if ivs and s <= ivs[-1][1]:
+            if e > ivs[-1][1]:
+                ivs[-1][1] = e
+        else:
+            ivs.append([s, e])
+    out: list[dict[str, Any]] = []
+    for a, b in ivs:
+        toks = [(m.start(), m.end())
+                for m in RE_TOKEN.finditer(text, a, b)]
+        if not toks:
+            continue
+        n = len(toks)
+        seg = [c for c in cands if c[0] >= a and c[3] <= b]
+        # restricted state list: O + (B,I) per category present, ordered by
+        # global state index so tie-breaks replicate argmax-first-index
+        cats = sorted({c[4] for c in seg}, key=lambda t: _NS[f"B-{t}"])
+        states = [0]
+        for t in cats:
+            states.append(_NS[f"B-{t}"])
+            states.append(_NS[f"I-{t}"])
+        m = len(states)
+        is_i = [NER_STATES[s].startswith("I-") for s in states]
+        # active feature ids per token
+        feats: list[list[int]] = []
+        tstart = {s: i for i, (s, _e) in enumerate(toks)}
+        for s, e in toks:
+            ch = text[s]
+            f = [_IB]
+            if ch.isupper():
+                f.append(_IC)
+            if ch.isdigit():
+                f.append(_ID)
+            if not ch.isalnum():
+                f.append(_IP)
+            feats.append(f)
+        for s, _neg, _pri, e, cat, _surf in seg:
+            i0 = tstart.get(s)
+            if i0 is None:
+                continue
+            feats[i0].append(_NF[f"cb_{cat}"])
+            j = i0 + 1
+            while j < n and toks[j][1] <= e:
+                feats[j].append(_NF[f"ci_{cat}"])
+                j += 1
+        # DP (structural transitions only; pure Python floats)
+        def em_row(i: int) -> list[float]:
+            fs = feats[i]
+            return [sum(WL[st][f] for f in fs) for st in states]
+
+        dp = em_row(0)
+        for j in range(m):
+            if is_i[j]:
+                dp[j] = -1e9          # first token cannot be I-*
+        back: list[list[int]] = [[0] * m]
+        for i in range(1, n):
+            g = 0
+            best = dp[0]
+            for j in range(1, m):
+                if dp[j] > best:
+                    best, g = dp[j], j
+            em = em_row(i)
+            bk = [g] * m
+            ndp = [best + em[j] for j in range(m)]
+            for j in range(m):
+                if is_i[j]:
+                    pb, pi = dp[j - 1], dp[j]   # B-t sits just before I-t
+                    if pb >= pi:
+                        ndp[j] = pb + em[j]
+                        bk[j] = j - 1
+                    else:
+                        ndp[j] = pi + em[j]
+                        bk[j] = j
+            dp = ndp
+            back.append(bk)
+        j = 0
+        best = dp[0]
+        for q in range(1, m):
+            if dp[q] > best:
+                best, j = dp[q], q
+        path = [0] * n
+        path[-1] = j
+        for i in range(n - 1, 0, -1):
+            path[i - 1] = back[i][path[i]]
+        out.extend(_path_to_entities(
+            text, toks, [states[p] for p in path]))
+    return out
+
+
+@lru_cache(maxsize=65536)
+def extract_entities(text: str) -> list[dict[str, Any]]:
+    """All NER entities in one paragraph text, left-to-right,
+    non-overlapping — FITTED model path (weights from tools/train_ner.py;
+    the rule twin is :func:`extract_entities_rules`). Memoized per worker;
+    CALLERS MUST NOT MUTATE the returned list/dicts."""
+    short = _shortcut(text)
+    if short is not None:
+        return short
+    return decode_entities(text)

