@@ -354,6 +354,9 @@ def _ner_weights_list() -> list[list[float]]:
 _IB, _IC = _NF["bias"], _NF["cap"]
 _ID, _IP = _NF["digit"], _NF["punct"]
 
+#: (states, token-feature-sets) signature -> decoded global-state path
+_SEG_DECODE_CACHE: dict = {}
+
 
 def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
     """Fitted-path resolution, segment-restricted: entities can only be
@@ -418,6 +421,16 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
             while j < n and toks[j][1] <= e:
                 feats[j].append(_NF[f"ci_{cat}"])
                 j += 1
+        # decode memo: the DP outcome depends only on (states, per-token
+        # feature sets) — and those signatures repeat massively across
+        # segments (every date shares one shape, every "Dr X" another), so
+        # the Viterbi runs once per distinct signature per worker
+        key = (tuple(states), tuple(map(tuple, feats)))
+        hit = None if W is not None else _SEG_DECODE_CACHE.get(key)
+        if hit is not None:
+            out.extend(_path_to_entities(text, toks, hit))
+            continue
+
         # DP (structural transitions only; pure Python floats)
         def em_row(i: int) -> list[float]:
             fs = feats[i]
@@ -457,8 +470,12 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         path[-1] = j
         for i in range(n - 1, 0, -1):
             path[i - 1] = back[i][path[i]]
-        out.extend(_path_to_entities(
-            text, toks, [states[p] for p in path]))
+        gpath = [states[p] for p in path]
+        if W is None:
+            if len(_SEG_DECODE_CACHE) >= 100_000:
+                _SEG_DECODE_CACHE.clear()
+            _SEG_DECODE_CACHE[key] = gpath
+        out.extend(_path_to_entities(text, toks, gpath))
     return out
 
 
