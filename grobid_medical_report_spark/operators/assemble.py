@@ -68,6 +68,7 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
         sizes = [s["font_size"] for s in spans] if has_layout else None
         bolds = [s["bold"] for s in spans] if has_layout else None
         xs = [s["x"] for s in spans] if has_layout else None
+        fonts = [s.get("font", "") for s in spans] if has_layout else None
     except Exception as exc:  # malformed span dicts (S3 isolation)
         return {
             "doc_id": doc_id, "spans": [], "zones": [], "header": None,
@@ -78,7 +79,7 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]],
         }
     return extract_doc_arrays(doc_id, kinds, texts, refs, offsets,
                               max_spans=max_spans, first_chunk=first_chunk,
-                              sizes=sizes, bolds=bolds, xs=xs)
+                              sizes=sizes, bolds=bolds, xs=xs, fonts=fonts)
 
 
 def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
@@ -87,7 +88,8 @@ def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
                        first_chunk: bool = True,
                        sizes: list[float] | None = None,
                        bolds: list[bool] | None = None,
-                       xs: list[float] | None = None) -> dict[str, Any]:
+                       xs: list[float] | None = None,
+                       fonts: list[str] | None = None) -> dict[str, Any]:
     """Full extraction for one document. Never raises: failures and oversize
     docs are routed to ``status`` (per-row failure isolation, SURVEY.md S3;
     oversize guard P3 analog of getPdfTokensMax)."""
@@ -119,6 +121,9 @@ def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
                 "bold": np.array([bool(bolds[i]) for i in order]),
                 "x": np.array([float(xs[i] or 0.0) for i in order]),
             }
+            if fonts is not None:
+                lay["font"] = np.array([fonts[i] or "" for i in order],
+                                       dtype=object)
 
         # stage 1: segmentation (coarse zones per line)
         zone_labels = segment_doc(texts, is_media, first_chunk, layout=lay)

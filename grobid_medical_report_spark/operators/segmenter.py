@@ -243,6 +243,10 @@ FEATURES = (
     "is_media", "repeat", "front", "front_left", "front_hdr", "front_other",
     "bold", "d_title", "d_heading", "d_sub", "d_small",
     "x_left", "x_right", "x_far",
+    # W1 lag features vs the previous line (reference NEWFONT/SAMEFONT,
+    # HIGHER/LOWER/SAMEFONTSIZE, MedicalReportSegmenterParser.java:530-551)
+    # + page-start relative position
+    "newfont", "size_up", "size_down", "x_shift", "page_first",
 )
 _FI = {f: i for i, f in enumerate(FEATURES)}
 
@@ -300,7 +304,8 @@ def line_features(texts: list[str], is_media: np.ndarray,
                 X[i, _FI["front_other"]] = 1.0
 
     if layout is not None:
-        delta = layout["size"] - modal_size(layout["size"], is_media)
+        sizes = layout["size"]
+        delta = sizes - modal_size(sizes, is_media)
         x = layout["x"]
         tx = ~is_media
         X[:, _FI["bold"]] = layout["bold"] & tx
@@ -312,6 +317,26 @@ def line_features(texts: list[str], is_media: np.ndarray,
         X[:, _FI["x_left"]] = (x < 60.0) & tx
         X[:, _FI["x_right"]] = (x > 250.0) & tx
         X[:, _FI["x_far"]] = (x > 450.0) & tx
+        # W1 lag features vs the previous line (NEWFONT / HIGHER/LOWERFONT
+        # / indentation shift — reference :530-551)
+        up = np.zeros(n, dtype=bool)
+        dn = np.zeros(n, dtype=bool)
+        sh = np.zeros(n, dtype=bool)
+        up[1:] = sizes[1:] > sizes[:-1]
+        dn[1:] = sizes[1:] < sizes[:-1]
+        sh[1:] = np.abs(x[1:] - x[:-1]) > 5.0
+        X[:, _FI["size_up"]] = up & tx
+        X[:, _FI["size_down"]] = dn & tx
+        X[:, _FI["x_shift"]] = sh & tx
+        fonts = layout.get("font")
+        if fonts is not None:
+            nf = np.zeros(n, dtype=bool)
+            nf[1:] = fonts[1:] != fonts[:-1]
+            X[:, _FI["newfont"]] = nf & tx
+    pf = np.zeros(n, dtype=bool)
+    pf[0] = True
+    pf[1:] = page_mark[:-1]
+    X[:, _FI["page_first"]] = pf & ~is_media
     return X
 
 

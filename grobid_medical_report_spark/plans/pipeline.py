@@ -105,16 +105,18 @@ def _extract_batches(max_spans: int | None):
             szs = pdf["in_sizes"] if has_lay else [None] * n_rows
             bds = pdf["in_bolds"] if has_lay else [None] * n_rows
             xxs = pdf["in_xs"] if has_lay else [None] * n_rows
+            fts = pdf["in_fonts"] if has_lay else [None] * n_rows
             rows = [extract_doc_arrays(d, _l(k), _l(t), _l(r), _l(o),
                                        max_spans=max_spans,
                                        first_chunk=bool(fc),
                                        sizes=None if sz is None else _l(sz),
                                        bolds=None if bd is None else _l(bd),
-                                       xs=None if xx is None else _l(xx))
-                    for d, k, t, r, o, fc, sz, bd, xx in zip(
+                                       xs=None if xx is None else _l(xx),
+                                       fonts=None if ft is None else _l(ft))
+                    for d, k, t, r, o, fc, sz, bd, xx, ft in zip(
                         pdf["doc_id"], pdf["in_kinds"], pdf["in_texts"],
                         pdf["in_refs"], pdf["in_offsets"], firsts,
-                        szs, bds, xxs)]
+                        szs, bds, xxs, fts)]
             for r in rows:
                 sps, ents, sents = r["spans"], r["entities"], r["sentences"]
                 r["n_pages"] = sum(1 for sp in sps if sp["kind"] == "page")
@@ -215,6 +217,7 @@ def extract(df: DataFrame, max_spans: int | None = 200_000,
             F.transform("spans", lambda s: s["font_size"]).alias("in_sizes"),
             F.transform("spans", lambda s: s["bold"]).alias("in_bolds"),
             F.transform("spans", lambda s: s["x"]).alias("in_xs"),
+            F.transform("spans", lambda s: s["font"]).alias("in_fonts"),
         ]
     if "first_chunk" in df.columns:
         flat_in.append(F.col("first_chunk"))

@@ -48,7 +48,9 @@ def _doc_views(i: int):
         if layout_mode:
             lay = {"size": np.array([s["font_size"] for s in d["spans"]]),
                    "bold": np.array([s["bold"] for s in d["spans"]]),
-                   "x": np.array([s["x"] for s in d["spans"]])}
+                   "x": np.array([s["x"] for s in d["spans"]]),
+                   "font": np.array([s["font"] for s in d["spans"]],
+                                    dtype=object)}
         gold = []
         for j, lab in enumerate(d["line_labels"]):
             z = ZONE_OF[lab]
