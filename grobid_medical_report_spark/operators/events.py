@@ -117,9 +117,9 @@ def q_event_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users whose first 'click' is followed by a
-    'purchase' within 7 days. Two per-user aggregates + one conditional
-    min — no event-level self-join, so the fact table is scanned once per
-    step and the join carries one row per user."""
+    'purchase' within 7 days. One lazy plan — two branches of the same DAG
+    union'd into the result; no event-level self-join (the join carries one
+    row per user) and no driver-side actions."""
     ev = _ev(spark, sf_dir)
     first_click = (ev.filter(F.col("event_type") == "click")
                    .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
