@@ -143,6 +143,12 @@ def extract_chunked(df: DataFrame, giant_threshold: int = GIANT_THRESHOLD,
                        w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
                 .withColumn("chunk_id",
                             F.floor(F.col("page_id") / pages_per_chunk).cast("int")))
+    # layout-enriched inputs (SURVEY §1.1 attrs) must survive the chunk
+    # round-trip — dropping them would silently degrade giant docs to the
+    # text-only kernel (guarded by tests/test_chunked.py layout case)
+    lay_fields = tuple(
+        f for f in ("font", "font_size", "bold", "italic", "x", "y")
+        if f in df.schema["spans"].dataType.elementType.names)
     # chunk identity rides inside the kernel's doc_id key ("doc#<chunk>"),
     # so the unchanged extraction schema carries it through
     groups = (chunked.groupBy("doc_id", "chunk_id")
@@ -150,7 +156,8 @@ def extract_chunked(df: DataFrame, giant_threshold: int = GIANT_THRESHOLD,
                   F.struct(F.col("s.offset").alias("offset"),
                            F.col("s.kind").alias("kind"),
                            F.col("s.text").alias("text"),
-                           F.col("s.media_ref").alias("media_ref"))))
+                           F.col("s.media_ref").alias("media_ref"),
+                           *[F.col(f"s.{f}").alias(f) for f in lay_fields])))
                   .alias("ospans"))
               .select(F.concat_ws("#", "doc_id",
                                   F.lpad(F.col("chunk_id").cast("string"),
@@ -158,7 +165,8 @@ def extract_chunked(df: DataFrame, giant_threshold: int = GIANT_THRESHOLD,
                       F.transform("ospans", lambda o: F.struct(
                           o["kind"].alias("kind"), o["text"].alias("text"),
                           o["media_ref"].alias("media_ref"),
-                          o["offset"].alias("offset"))).alias("spans"),
+                          o["offset"].alias("offset"),
+                          *[o[f].alias(f) for f in lay_fields])).alias("spans"),
                       (F.col("chunk_id") == 0).alias("first_chunk")))
 
     chunk_out = (extract(groups, max_spans=max_spans)

@@ -55,6 +55,21 @@ def test_chunked_matches_golden_oracle(spark):
         assert got == want, r["doc_id"]
 
 
+def test_chunked_preserves_layout_attrs(spark):
+    """Layout-enriched giant docs must produce the SAME spans chunked or
+    not — i.e. the layout attrs survive the explode/group round-trip and
+    the chunk kernel still sees font/bold/x (marker-less headings resolve)."""
+    from grobid_medical_report_spark.corpus import generate_doc
+
+    df = corpus_df(spark, N, layout=True)
+    chunked = extract_chunked(df, giant_threshold=60,
+                              pages_per_chunk=2).collect()
+    assert _span_map(chunked) == {
+        d["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                      for s in d["expected_spans"]]
+        for d in (generate_doc(i, layout=True) for i in range(N))}
+
+
 def test_size_bucketed_repartition_preserves_results(spark):
     df = size_bucketed_repartition(corpus_df(spark, 20), parallelism=16)
     rows = extract(df).collect()
