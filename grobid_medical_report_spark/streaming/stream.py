@@ -14,21 +14,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..corpus import INPUT_SCHEMA
+from ..corpus import INPUT_SCHEMA, INPUT_SCHEMA_LAYOUT
 from ..plans.pipeline import extract
 
 
 def stream_extract(spark: SparkSession, input_dir: str, out_dir: str,
                    checkpoint_dir: str, max_spans: int | None = 200_000,
-                   available_now: bool = True):
+                   available_now: bool = True, layout: bool = False):
     """Start (and by default drain) a streaming extraction job.
 
     Returns the StreamingQuery; with ``available_now`` the call blocks until
     all currently-available input files are processed, then stops — re-running
     after new files arrive processes only the delta (file-log checkpointing).
+    ``layout=True`` reads the layout-enriched span schema (SURVEY §1.1
+    attrs), which the extraction stage consumes automatically.
     """
     src: DataFrame = (spark.readStream
-                      .schema(INPUT_SCHEMA)
+                      .schema(INPUT_SCHEMA_LAYOUT if layout else INPUT_SCHEMA)
                       .option("maxFilesPerTrigger", 64)
                       .parquet(input_dir))
     ext = extract(src, max_spans=max_spans)
