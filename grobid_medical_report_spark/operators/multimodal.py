@@ -2,11 +2,12 @@
 
 Media assets ride through the engine as ``binary`` columns with typed
 metadata structs (the Spark-native form of the reference's GraphicObject
-assets, MedicalReportSegmenterParser.dealWithImages:151-231). The image/audio
-codec libraries are not in this container, so the *decode* step is a stub —
-deterministic fake features clearly marked as such — while everything
-Spark-side (schema, batching, UDF signature, partition shape) is real and
-tested.
+assets, MedicalReportSegmenterParser.dealWithImages:151-231). The PPM->PNG
+asset conversion of ``dealWithImages`` is REAL — pure-stdlib codecs in
+functions/media.py, round-trip verified pixel-exact — while JPG/audio
+decode remains an honest stub (those codec libraries are not bundled);
+everything Spark-side (schema, batching, UDF signature, partition shape,
+per-row failure isolation) is real and tested either way.
 
 ``q_multimodal_meta`` (oracle-checked) proves the binary column path through
 both engines; ``x_media_features`` (rows-only) proves the mapInPandas
@@ -155,6 +156,48 @@ def x_media_frame_sample(spark: SparkSession, sf_dir: str,
         sample, schema="doc_id bigint, frame_idx int, checksum bigint")
 
 
+def x_media_ppm_to_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL asset conversion (the reference's dealWithImages PPM half):
+    deterministic P6 payloads are synthesized from each doc's bytes inside
+    the Arrow batch, converted PPM -> PNG with the pure-stdlib codecs, and
+    verified by decoding the PNG back (pixel-exact) in the same stage.
+    Malformed payloads (every 17th doc gets a truncated raster) land in
+    ``status`` instead of poisoning the partition — S3 isolation on the
+    media path."""
+    import pandas as pd
+
+    from ..functions.media import (MediaFormatError, decode_png, make_ppm,
+                                   ppm_to_png)
+
+    m = media_table(spark, sf_dir)
+
+    def conv(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w = 8
+                h = max(1, min(16, len(p) // (w * 3)))
+                rgb = bytes(p[:w * h * 3]).ljust(w * h * 3, b"\x00")
+                ppm = make_ppm(w, h, rgb)
+                if did % 17 == 0:
+                    ppm = ppm[:-5]        # truncated raster: must not raise
+                try:
+                    png = ppm_to_png(ppm)
+                    rw, rh, rrgb = decode_png(png)
+                    ok = (rw, rh, rrgb) == (w, h, rgb)
+                    rows.append((did, w, h, len(ppm), len(png),
+                                 "ok" if ok else "error: round-trip mismatch"))
+                except MediaFormatError as exc:
+                    rows.append((did, w, h, len(ppm), 0, f"error: {exc}"))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "ppm_bytes", "png_bytes",
+                "status"])
+
+    return m.mapInPandas(
+        conv, schema="doc_id bigint, width int, height int, ppm_bytes int, "
+                     "png_bytes int, status string")
+
+
 ORACLES: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'rgb8' END AS codec,
@@ -175,4 +218,5 @@ ROWS_ONLY_QUERIES = {
     "x_media_features": x_media_features,
     "x_media_resize": x_media_resize,
     "x_media_frame_sample": x_media_frame_sample,
+    "x_media_ppm_to_png": x_media_ppm_to_png,
 }
