@@ -247,6 +247,7 @@ _X_ORACLES = {
         "expected_sentences", "doc_id, span_order, sent_idx, start_char, end_char"),
     "x_extract_markers": _golden(
         "expected_markers", "doc_id, span_order, marker_kind, target"),
+    "x_extract_tei": _golden("expected_tei", "doc_id, tei"),
 }
 
 

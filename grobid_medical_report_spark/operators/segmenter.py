@@ -290,9 +290,15 @@ def line_features(texts: list[str], is_media: np.ndarray,
         g = mains[i]
         if g is not None:
             X[i, _FI[f"m_{g}"]] = 1.0
-        if counts.get(t, 0) >= 2:
+        front = (first_chunk and page_idx[i] == 0 and i < first_section
+                 and g is None)
+        # repetition = CROSS-PAGE boilerplate evidence (the reference's F3
+        # detector counts repeats across pages) — a duplicated line inside
+        # the page-1 front region (two medics with the same name) is not
+        # boilerplate, so the feature must not fire there
+        if counts.get(t, 0) >= 2 and not front:
             X[i, _FI["repeat"]] = 1.0
-        if first_chunk and page_idx[i] == 0 and i < first_section and g is None:
+        if front:
             X[i, _FI["front"]] = 1.0
             left = bool(RE_LEFT.match(t))
             hdr = bool(RE_HDR.match(t))

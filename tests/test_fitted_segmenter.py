@@ -60,9 +60,11 @@ def test_fitted_equals_rules_on_held_out(layout_mode):
 
 @pytest.mark.parametrize("layout_mode", [False, True])
 def test_fitted_matches_gold_zones_held_out(layout_mode):
+    """All 200 held-out docs (incl. 414, whose duplicated medic line caught
+    a repeat-feature/front-gate interaction in r2)."""
     from grobid_medical_report_spark.corpus import ZONE_OF
 
-    for i in HELD_OUT:
+    for i in range(300, 500):
         d = generate_doc(i, layout=layout_mode)
         texts, is_media, lay = _doc_arrays(d, layout_mode)
         got = seg.segment_doc(texts, is_media, layout=lay)

@@ -91,6 +91,17 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
             marks["marker_kind"].append(m["marker_kind"])
             marks["target"].append(m["target"])
 
+    # expected TEI strings: the S5 sink's golden side, rendered from the
+    # GENERATOR's expected extraction (not the kernel's), so the oracle
+    # checks extraction equality through the TEI serialization
+    from grobid_medical_report_spark.functions.tei import render_tei
+    tei = {"doc_id": [], "tei": []}
+    for d in docs:
+        tei["doc_id"].append(d["doc_id"])
+        tei["tei"].append(render_tei({
+            "header": d["header"], "leftnote": d["leftnote"],
+            "patients": d["patients"], "spans": d["expected_spans"]}))
+
     # layout-corpus twin: the expected span sequence when extraction runs
     # over the layout-enriched input (marker-less headings/items/doctypes
     # resolvable only via font/bold/indent attrs — tests/test_layout.py)
@@ -110,6 +121,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
                          for k, v in cols.items()})
 
     return {
+        "expected_tei": tbl(tei, set()),
         "expected_spans_layout": tbl(lspans, {"order"}),
         "expected_spans": tbl(spans, {"order"}),
         "expected_header": tbl(header, set()),
