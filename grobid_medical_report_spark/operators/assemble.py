@@ -28,7 +28,7 @@ import numpy as np
 
 from ..functions.sentences import split_sentences
 from ..functions.textnorm import dehyphenize_join, normalize_space
-from .body import RE_LABEL_LINE, RE_SEPARATOR, label_body_line
+from .body import RE_LABEL_LINE, RE_SEPARATOR, label_body_line_fitted
 from .header import parse_header_zone
 from .leftnote import parse_leftnote_zone
 from .ner import extract_entities
@@ -144,17 +144,17 @@ def extract_doc_arrays(doc_id: str, kinds: list[str], texts_raw: list[str],
         fine = list(zone_labels)
         for i, z in enumerate(zone_labels):
             if z == "body":
-                prev_media = bool(i > 0 and is_media[i - 1]
-                                  and zone_labels[i - 1] == "body")
-                fine[i] = label_body_line(texts[i], bool(is_media[i]), prev_media)
-                if lay is not None and fine[i] == "paragraph":
+                if lay is not None and not is_media[i]:
                     d = lay["size"][i] - modal
-                    if lay["bold"][i] and HEADING_DSIZE_LO <= d <= HEADING_DSIZE_HI:
-                        fine[i] = "section"
-                    elif lay["bold"][i] and SUBSECTION_DSIZE_LO <= d < HEADING_DSIZE_LO:
-                        fine[i] = "subsection"
-                    elif lay["x"][i] - body_x >= ITEM_INDENT_MIN:
-                        fine[i] = "item"
+                    lh = bool(lay["bold"][i]
+                              and HEADING_DSIZE_LO <= d <= HEADING_DSIZE_HI)
+                    ls = bool(lay["bold"][i]
+                              and SUBSECTION_DSIZE_LO <= d < HEADING_DSIZE_LO)
+                    li = bool(lay["x"][i] - body_x >= ITEM_INDENT_MIN)
+                else:
+                    lh = ls = li = False
+                fine[i] = label_body_line_fitted(
+                    texts[i], bool(is_media[i]), lh, ls, li)
 
         # stage 3: header / left-note field models + sub-entity cascade
         hdr_idx = [i for i, z in enumerate(zone_labels) if z == "header"]

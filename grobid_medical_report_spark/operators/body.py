@@ -59,8 +59,11 @@ RE_BODY = re.compile(
 
 @lru_cache(maxsize=65536)
 def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
-    """Fine label for one body-zone line (C1 analog for the body model).
-    Memoized per worker (pure; body lines repeat across documents)."""
+    """Fine label for one body-zone line — RULE cascade, the engineered twin
+    of the FITTED classifier (:func:`label_body_line_fitted`); both are
+    asserted label-identical on the golden corpora
+    (tests/test_fitted_body.py). Memoized per worker (pure; body lines
+    repeat across documents)."""
     if is_media:
         return "media"
     m = RE_BODY.match(text)
@@ -75,3 +78,86 @@ def label_body_line(text: str, is_media: bool, prev_is_media: bool) -> str:
             return "subsection"
         return "paragraph"            # "Gestes effectués :" stays prose
     return g
+
+
+# --------------------------------------------------------------------------
+# fitted body-line classifier (the reference's full-medical-text model is a
+# trained CRF, FullMedicalTextParser.java:106-206): per-line shape/lexicon/
+# layout features -> learned multiclass weights (tools/train_body.py,
+# perceptron to zero train errors), argmax with first-index tie-break.
+# --------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+BODY_LABELS = ("paragraph", "section", "subsection", "item", "medic",
+               "figure", "table")
+BODY_FEATURES = ("bias", "g_figure", "g_table", "g_item", "g_medic",
+                 "g_section", "g_subsection", "sec_lex", "sub_lex",
+                 "lay_heading", "lay_sub", "lay_indent")
+_BL = {b: i for i, b in enumerate(BODY_LABELS)}
+_BF = {f: i for i, f in enumerate(BODY_FEATURES)}
+
+BODY_MODEL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "models", "body_model.json")
+
+
+def body_line_features(text: str, lay_heading: bool = False,
+                       lay_sub: bool = False,
+                       lay_indent: bool = False) -> list[int]:
+    """Active feature ids for one body text line. Layout flags are the
+    font-delta-band / indentation signals computed by the kernel
+    (assemble.py) when the input carries layout attrs."""
+    f = [_BF["bias"]]
+    m = RE_BODY.match(text)
+    if m:
+        f.append(_BF[f"g_{m.lastgroup}"])
+        if m.lastgroup == "subsection":
+            stem = text.rstrip(" :")
+            if stem.upper() in _SECTION_UPPER:
+                f.append(_BF["sec_lex"])
+            if stem in _SUBSECTION_SET:
+                f.append(_BF["sub_lex"])
+    if lay_heading:
+        f.append(_BF["lay_heading"])
+    if lay_sub:
+        f.append(_BF["lay_sub"])
+    if lay_indent:
+        f.append(_BF["lay_indent"])
+    return f
+
+
+_BODY_WL: list[list[float]] | None = None
+
+
+def _body_weights() -> list[list[float]]:
+    global _BODY_WL
+    if _BODY_WL is None:
+        with open(BODY_MODEL_PATH) as fh:
+            m = _json.load(fh)
+        assert tuple(m["labels"]) == BODY_LABELS \
+            and tuple(m["features"]) == BODY_FEATURES, \
+            "body_model.json is stale — rerun tools/train_body.py"
+        _BODY_WL = m["W"]
+    return _BODY_WL
+
+
+@lru_cache(maxsize=65536)
+def label_body_line_fitted(text: str, is_media: bool,
+                           lay_heading: bool = False, lay_sub: bool = False,
+                           lay_indent: bool = False) -> str:
+    """FITTED body-line label (the default path in assemble.py)."""
+    if is_media:
+        return "media"
+    WL = _body_weights()
+    feats = body_line_features(text, lay_heading, lay_sub, lay_indent)
+    best, arg = None, 0
+    for j in range(len(BODY_LABELS)):
+        row = WL[j]
+        s = 0.0
+        for f in feats:
+            s += row[f]
+        if best is None or s > best:
+            best, arg = s, j
+    return BODY_LABELS[arg]
