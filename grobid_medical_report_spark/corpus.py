@@ -220,6 +220,10 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
 
     # truth-labeled line stream: (label, text, media_ref, para_seq)
     lines: list[tuple[str, str, str, int]] = []
+    #: per-line FIELD truth for the header/left-note zone models (the
+    #: reference's header-medical-report / left-note-medical-report labels);
+    #: "" for lines outside those zones
+    line_fields: list[str] = []
     #: parallel per-line style tuples (font, size, bold, italic, x) — layout
     #: mode only; y is assigned in a post-pass (resets at page breaks)
     styles: list[tuple[str, float, bool, bool, float]] = []
@@ -265,8 +269,9 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
 
     def emit(label: str, text: str, ref: str = "", pseq: int = -1,
              dsize: float | None = None, bold: bool | None = None,
-             x: float | None = None) -> None:
+             x: float | None = None, field: str = "") -> None:
         lines.append((label, text, ref, pseq))
+        line_fields.append(field)
         if layout:
             d, b, it, xx = _LABEL_STYLE.get(label, (0.0, False, False, BODY_X))
             styles.append((body_font,
@@ -287,7 +292,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
     person_names: list[dict[str, Any]] = []
 
     docnum = str(rng.randrange(10**8, 10**9))
-    emit("header", f"N° {docnum}")
+    emit("header", f"N° {docnum}", field="docnum")
     header["docnum"] = docnum
 
     doctype = rng.choice(lex.DOCTYPES)
@@ -295,14 +300,15 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         # title-case doctype: largest-font-in-header is the only title cue
         # (reference A5 font statistics, HeaderMedicalParser.java:434-467)
         doctype = doctype.capitalize()
-    emit("header", doctype, dsize=TITLE_DSIZE, bold=True)
+    emit("header", doctype, dsize=TITLE_DSIZE, bold=True,
+         field="doctype")
     header["doctype"] = doctype
     header["title"] = doctype
 
     issued = _rand_date(rng)
     dl_time = f"{rng.randrange(8, 19)}h{rng.randrange(0, 60):02d}" if rng.random() < 0.3 else ""
     dateline = f"{city}, le {issued}" + (f", à {dl_time}" if dl_time else "")
-    emit("header", dateline)
+    emit("header", dateline, field="dateline")
     header["dateline"] = dateline
     header["date_iso"] = parse_date_iso(issued) or ""
     header["time"] = dl_time
@@ -313,7 +319,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         fn, ln = rng.choice(lex.FIRST_NAMES), rng.choice(lex.LAST_NAMES)
         role = rng.choice(lex.ROLES)
         pers = f"Dr {fn} {ln}"
-        emit("header", f"{pers}, {role}")
+        emit("header", f"{pers}, {role}", field="medic")
         header["medics"].append(pers)
         medics_fix.append({"idx": midx, "idno": "", "role": role, "persname": pers,
                            "affiliation": "", "organisation": "", "institution": "",
@@ -323,19 +329,19 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
                              "middlename": "", "surname": ln, "suffix": ""})
 
     ipp = str(rng.randrange(10**8, 10**9))
-    emit("header", f"IPP : {ipp}")
+    emit("header", f"IPP : {ipp}", field="idno")
     ptitle = rng.choice(["Madame", "Monsieur"])
     pf, pm, pl = (rng.choice(lex.FIRST_NAMES), rng.choice(lex.FIRST_NAMES),
                   rng.choice(lex.LAST_NAMES))
     ppers = f"{ptitle} {pf} {pm} {pl}"
-    emit("header", ppers)
+    emit("header", ppers, field="patient")
     birth = _rand_date(rng)
-    emit("header", f"Né(e) le {birth}")
+    emit("header", f"Né(e) le {birth}", field="birthdate")
     age = f"{rng.randrange(1, 99)} ans"
-    emit("header", age)
+    emit("header", age, field="age")
     paddr = (f"Demeurant : {rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
              f"{rng.choice(lex.CITIES)}")
-    emit("header", paddr)
+    emit("header", paddr, field="patient_address")
     header["patients"].append(ppers)
     patients_fix.append({"idx": 0, "id": ipp, "idtype": "IPP", "persname": ppers,
                          "sex": "", "birthdate": birth, "age": age, "birthplace": "",
@@ -353,8 +359,10 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
               f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
     ln_fax = (f"Fax : 01 {rng.randrange(10, 100)} {rng.randrange(10, 100)} "
               f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
-    for t in (pole, service, ln_street, ln_pc, ln_tel, ln_fax):
-        emit("leftnote", t)
+    for t, fld in ((pole, "org"), (service, "org"),
+                   (ln_street, "address_street"), (ln_pc, "address_pc"),
+                   (ln_tel, "phone"), (ln_fax, "fax")):
+        emit("leftnote", t, field=fld)
     leftnote = {
         "idno": "", "org": f"{pole} {service}",
         "address": f"{ln_street} {ln_pc}", "country": "France",
@@ -538,6 +546,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         "entities": expected_entities, "sentences": expected_sentences,
         "markers": expected_markers,
         "line_labels": [lab for lab, _, _, _ in lines],
+        "line_fields": line_fields,
         "line_styles": styles if layout else [],
     }
 

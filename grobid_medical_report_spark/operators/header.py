@@ -41,8 +41,111 @@ def parse_person_name(persname: str) -> dict[str, str]:
             "surname": surname, "suffix": ""}
 
 
+# --------------------------------------------------------------------------
+# header line-field model (the reference's header-medical-report is a
+# trained CRF, HeaderMedicalParser.java:239-389): per-line pattern/layout
+# features -> learned multiclass weights (tools/train_fields.py), with the
+# rule cascade kept as the A/B twin. The field ACTIONS (merge semantics,
+# sub-entity cascade) are shared by both paths — mirroring the reference's
+# model -> resultExtraction split.
+# --------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+HEADER_LABELS = ("docnum", "dateline", "medic", "idno", "patient",
+                 "birthdate", "age", "patient_address", "doctype", "note")
+HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
+                   "r_patient", "r_birth", "r_age", "r_paddr",
+                   "r_doctype", "largest_font")
+_HL = {b: i for i, b in enumerate(HEADER_LABELS)}
+_HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
+
+HEADER_MODEL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "models", "header_model.json")
+
+
+def header_line_features(t: str, largest: bool = False) -> list[int]:
+    f = [_HF["bias"]]
+    if RE_DOCNUM.fullmatch(t):
+        f.append(_HF["r_docnum"])
+    if RE_DATELINE.fullmatch(t):
+        f.append(_HF["r_dateline"])
+    if RE_MEDIC_SPLIT.fullmatch(t) and RE_MEDIC_LINE.fullmatch(t):
+        f.append(_HF["r_medic"])
+    if RE_IDNO.fullmatch(t):
+        f.append(_HF["r_idno"])
+    if RE_PATIENT_NAME.fullmatch(t):
+        f.append(_HF["r_patient"])
+    if RE_BIRTH.fullmatch(t):
+        f.append(_HF["r_birth"])
+    if RE_AGE.fullmatch(t):
+        f.append(_HF["r_age"])
+    if RE_PADDR.fullmatch(t):
+        f.append(_HF["r_paddr"])
+    if RE_DOCTYPE.fullmatch(t):
+        f.append(_HF["r_doctype"])
+    if largest:
+        f.append(_HF["largest_font"])
+    return f
+
+
+def label_header_line_rules(t: str, largest: bool = False) -> str:
+    """Rule cascade label — first-match order, the A/B twin."""
+    if RE_DOCNUM.fullmatch(t):
+        return "docnum"
+    if RE_DATELINE.fullmatch(t):
+        return "dateline"
+    if RE_MEDIC_SPLIT.fullmatch(t) and RE_MEDIC_LINE.fullmatch(t):
+        return "medic"
+    if RE_IDNO.fullmatch(t):
+        return "idno"
+    if RE_PATIENT_NAME.fullmatch(t):
+        return "patient"
+    if RE_BIRTH.fullmatch(t):
+        return "birthdate"
+    if RE_AGE.fullmatch(t):
+        return "age"
+    if RE_PADDR.fullmatch(t):
+        return "patient_address"
+    if RE_DOCTYPE.fullmatch(t) or largest:
+        return "doctype"
+    return "note"
+
+
+_HEADER_WL: list[list[float]] | None = None
+
+
+def _header_weights() -> list[list[float]]:
+    global _HEADER_WL
+    if _HEADER_WL is None:
+        with open(HEADER_MODEL_PATH) as fh:
+            m = _json.load(fh)
+        assert tuple(m["labels"]) == HEADER_LABELS \
+            and tuple(m["features"]) == HEADER_FEATURES, \
+            "header_model.json is stale — rerun tools/train_fields.py"
+        _HEADER_WL = m["W"]
+    return _HEADER_WL
+
+
+def label_header_line_fitted(t: str, largest: bool = False) -> str:
+    WL = _header_weights()
+    feats = header_line_features(t, largest)
+    best, arg = None, 0
+    for j in range(len(HEADER_LABELS)):
+        s = 0.0
+        row = WL[j]
+        for f in feats:
+            s += row[f]
+        if best is None or s > best:
+            best, arg = s, j
+    return HEADER_LABELS[arg]
+
+
 def parse_header_zone(lines: list[str],
-                      sizes: list[float] | None = None) -> dict[str, Any]:
+                      sizes: list[float] | None = None,
+                      use_rules: bool = False) -> dict[str, Any]:
     """Header lines -> (header struct, medics, patients, datelines, person_names).
 
     ``sizes`` optionally carries per-line font sizes: a line whose font is
@@ -75,13 +178,15 @@ def parse_header_zone(lines: list[str],
             patients.append(cur_patient)
         return cur_patient
 
+    label_fn = label_header_line_rules if use_rules else label_header_line_fitted
     for li, raw in enumerate(lines):
         t = normalize_space(raw)
-        if RE_DOCNUM.fullmatch(t):
+        lab = label_fn(t, li in largest)
+        if lab == "docnum":
             h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
             continue
-        m = RE_DATELINE.fullmatch(t)
-        if m:
+        if lab == "dateline":
+            m = RE_DATELINE.fullmatch(t)
             h["dateline"] = merge_field(h["dateline"], t)
             iso = parse_date_iso(m.group(2)) or ""
             if len(iso) > len(h["date_iso"]):        # keep-longest (A2)
@@ -92,8 +197,8 @@ def parse_header_zone(lines: list[str],
                               "placename": m.group(1), "date": m.group(2),
                               "time": m.group(3) or "", "note": ""})
             continue
-        m = RE_MEDIC_SPLIT.fullmatch(t)
-        if m and RE_MEDIC_LINE.fullmatch(t):
+        if lab == "medic":
+            m = RE_MEDIC_SPLIT.fullmatch(t)
             pers, role = m.group(1), m.group(2)
             medic_names.append(pers)
             medics.append({"idx": len(medics), "idno": "", "role": role,
@@ -104,29 +209,29 @@ def parse_header_zone(lines: list[str],
             pn = parse_person_name(pers)
             person_names.append({"idx": len(person_names), **pn})
             continue
-        if RE_IDNO.fullmatch(t):
+        if lab == "idno":
             p = patient()
             p["id"] = merge_field(p["id"], t.split(":", 1)[1].strip())
             p["idtype"] = "IPP"
             continue
-        if RE_PATIENT_NAME.fullmatch(t):
+        if lab == "patient":
             p = patient()
             p["persname"] = merge_field(p["persname"], t)
             patient_names.append(t)
             pn = parse_person_name(t)
             person_names.append({"idx": len(person_names), **pn})
             continue
-        if RE_BIRTH.fullmatch(t):
+        if lab == "birthdate":
             patient()["birthdate"] = t.split("le", 1)[1].strip()
             continue
-        if RE_AGE.fullmatch(t):
+        if lab == "age":
             patient()["age"] = t
             continue
-        if RE_PADDR.fullmatch(t):
+        if lab == "patient_address":
             p = patient()
             p["address"] = merge_field(p["address"], t.split(":", 1)[1].strip())
             continue
-        if RE_DOCTYPE.fullmatch(t) or li in largest:
+        if lab == "doctype":
             h["doctype"] = merge_field(h["doctype"], t)
             h["title"] = h["doctype"]
             continue

@@ -30,43 +30,132 @@ _EMPTY: dict[str, Any] = {
 # into the fixture's mixed content.
 
 
-def parse_leftnote_zone(lines: list[str]) -> dict[str, Any]:
+# --------------------------------------------------------------------------
+# left-note line-field model (the reference's left-note-medical-report is a
+# trained CRF): fitted multiclass weights over the letterhead patterns
+# (tools/train_fields.py), rules kept as the A/B twin; shared field actions.
+# --------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+LEFTNOTE_LABELS = ("org", "phone", "fax", "staff_org_phone",
+                   "staff_role_name", "staff_name", "staff_role",
+                   "address_pc", "address_street", "note")
+LEFTNOTE_FEATURES = ("bias", "r_pole", "r_service", "r_tel", "r_fax",
+                     "r_staff_org_phone", "r_staff_role_name",
+                     "r_staff_name", "r_staff_role", "r_postcode",
+                     "r_street")
+_LL = {b: i for i, b in enumerate(LEFTNOTE_LABELS)}
+_LF = {f: i for i, f in enumerate(LEFTNOTE_FEATURES)}
+
+LEFTNOTE_MODEL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "models", "leftnote_model.json")
+
+_RX_FEATS = (
+    (RE_POLE, "r_pole"), (RE_SERVICE, "r_service"), (RE_TEL, "r_tel"),
+    (RE_FAX, "r_fax"), (RE_STAFF_ORG_PHONE, "r_staff_org_phone"),
+    (RE_STAFF_ROLE_NAME, "r_staff_role_name"),
+    (RE_STAFF_NAME, "r_staff_name"), (RE_STAFF_ROLE, "r_staff_role"),
+    (RE_POSTCODE, "r_postcode"), (RE_STREET, "r_street"),
+)
+
+
+def leftnote_line_features(t: str) -> list[int]:
+    f = [_LF["bias"]]
+    for rx, name in _RX_FEATS:
+        if rx.fullmatch(t):
+            f.append(_LF[name])
+    return f
+
+
+def label_leftnote_line_rules(t: str) -> str:
+    """First-match cascade label — the A/B twin."""
+    if RE_POLE.fullmatch(t) or RE_SERVICE.fullmatch(t):
+        return "org"
+    if RE_TEL.fullmatch(t):
+        return "phone"
+    if RE_FAX.fullmatch(t):
+        return "fax"
+    if RE_STAFF_ORG_PHONE.fullmatch(t):
+        return "staff_org_phone"
+    if RE_STAFF_ROLE_NAME.fullmatch(t):
+        return "staff_role_name"
+    if RE_STAFF_NAME.fullmatch(t):
+        return "staff_name"
+    if RE_STAFF_ROLE.fullmatch(t):
+        return "staff_role"
+    if RE_POSTCODE.fullmatch(t):
+        return "address_pc"
+    if RE_STREET.fullmatch(t):
+        return "address_street"
+    return "note"
+
+
+_LN_WL: list[list[float]] | None = None
+
+
+def _leftnote_weights() -> list[list[float]]:
+    global _LN_WL
+    if _LN_WL is None:
+        with open(LEFTNOTE_MODEL_PATH) as fh:
+            m = _json.load(fh)
+        assert tuple(m["labels"]) == LEFTNOTE_LABELS \
+            and tuple(m["features"]) == LEFTNOTE_FEATURES, \
+            "leftnote_model.json is stale — rerun tools/train_fields.py"
+        _LN_WL = m["W"]
+    return _LN_WL
+
+
+def label_leftnote_line_fitted(t: str) -> str:
+    WL = _leftnote_weights()
+    feats = leftnote_line_features(t)
+    best, arg = None, 0
+    for j in range(len(LEFTNOTE_LABELS)):
+        s = 0.0
+        row = WL[j]
+        for f in feats:
+            s += row[f]
+        if best is None or s > best:
+            best, arg = s, j
+    return LEFTNOTE_LABELS[arg]
+
+
+def parse_leftnote_zone(lines: list[str],
+                        use_rules: bool = False) -> dict[str, Any]:
     ln = dict(_EMPTY)
     ln["medics"] = []
+    label_fn = (label_leftnote_line_rules if use_rules
+                else label_leftnote_line_fitted)
     for raw in lines:
         t = normalize_space(raw)
-        if RE_POLE.fullmatch(t) or RE_SERVICE.fullmatch(t):
+        lab = label_fn(t)
+        if lab == "org":
             ln["org"] = (ln["org"] + " " + t).strip()
-            continue
-        if RE_TEL.fullmatch(t):            # before staff: "Tél : 01 ..." is
-            ln["phone"] = t.split(":", 1)[1].strip()   # the org's own line
-            continue
-        if RE_FAX.fullmatch(t):
+        elif lab == "phone":           # "Tél : 01 ..." is the org's own line
+            ln["phone"] = t.split(":", 1)[1].strip()
+        elif lab == "fax":
             ln["fax"] = t.split(":", 1)[1].strip()
-            continue
-        m = RE_STAFF_ORG_PHONE.fullmatch(t)
-        if m:
+        elif lab == "staff_org_phone":
+            m = RE_STAFF_ORG_PHONE.fullmatch(t)
             ln["medics"].append(f"orgName={m.group(1)}|phone={m.group(2)}")
-            continue
-        m = RE_STAFF_ROLE_NAME.fullmatch(t)
-        if m:
+        elif lab == "staff_role_name":
+            m = RE_STAFF_ROLE_NAME.fullmatch(t)
             ln["medics"].append(f"roleName={m.group(1)}|persName={m.group(2)}")
-            continue
-        m = RE_STAFF_NAME.fullmatch(t)
-        if m:
+        elif lab == "staff_name":
+            m = RE_STAFF_NAME.fullmatch(t)
             ln["medics"].append(f"persName={m.group(1)}")
-            continue
-        if RE_STAFF_ROLE.fullmatch(t):
+        elif lab == "staff_role":
             ln["medics"].append(f"roleName={t}")
-            continue
-        if RE_POSTCODE.fullmatch(t):
+        elif lab == "address_pc":
             ln["address"] = (ln["address"] + " " + t).strip()
             city = t[6:]
             if city.endswith(" Cedex"):
                 city = city[: -len(" Cedex")]
             ln["settlement"] = city
             ln["country"] = "France"
-        elif RE_STREET.fullmatch(t):
+        elif lab == "address_street":
             ln["address"] = (ln["address"] + " " + t).strip()
         else:
             ln["note"] = (ln["note"] + " " + t).strip()
