@@ -30,7 +30,8 @@ _TITLES = ("Dr", "Docteur", "Pr", "Professeur", "Madame", "Monsieur", "Mme", "M.
 
 
 def parse_person_name(persname: str) -> dict[str, str]:
-    """PersonNameParser analog (reference PersonName.java:26-33)."""
+    """PersonNameParser analog (reference PersonName.java:26-33) — RULE
+    split, the A/B twin of :func:`parse_person_name_fitted`."""
     toks = persname.split(" ")
     title = toks[0] if toks and toks[0].rstrip(".") in [t.rstrip(".") for t in _TITLES] else ""
     rest = toks[1:] if title else toks
@@ -39,6 +40,18 @@ def parse_person_name(persname: str) -> dict[str, str]:
     middle = " ".join(rest[1:-1]) if len(rest) >= 3 else ""
     return {"title": title, "forename": forename, "middlename": middle,
             "surname": surname, "suffix": ""}
+
+
+def parse_person_name_fitted(persname: str) -> dict[str, str]:
+    """FITTED person-name split (name-person-medical token tagger,
+    operators/subentity.py) — same output shape as the rule twin."""
+    from .subentity import tag_segments
+
+    segs = tag_segments("name-person-medical", persname)
+    return {"title": segs.get("title", ""),
+            "forename": segs.get("forename", ""),
+            "middlename": segs.get("middlename", ""),
+            "surname": segs.get("surname", ""), "suffix": ""}
 
 
 # --------------------------------------------------------------------------
@@ -178,7 +191,10 @@ def parse_header_zone(lines: list[str],
             patients.append(cur_patient)
         return cur_patient
 
+    from .subentity import tag_segments
+
     label_fn = label_header_line_rules if use_rules else label_header_line_fitted
+    name_fn = parse_person_name if use_rules else parse_person_name_fitted
     for li, raw in enumerate(lines):
         t = normalize_space(raw)
         lab = label_fn(t, li in largest)
@@ -186,27 +202,41 @@ def parse_header_zone(lines: list[str],
             h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
             continue
         if lab == "dateline":
-            m = RE_DATELINE.fullmatch(t)
+            # sub-entity cascade: dateline -> place/date/time (fitted token
+            # tagger by default; regex-group twin under use_rules)
+            if use_rules:
+                m = RE_DATELINE.fullmatch(t)
+                place, date, time = m.group(1), m.group(2), m.group(3) or ""
+            else:
+                segs = tag_segments("dateline", t)
+                place = segs.get("placename", "")
+                date = segs.get("date", "")
+                time = segs.get("time", "")
             h["dateline"] = merge_field(h["dateline"], t)
-            iso = parse_date_iso(m.group(2)) or ""
+            iso = parse_date_iso(date) or ""
             if len(iso) > len(h["date_iso"]):        # keep-longest (A2)
                 h["date_iso"] = iso
-            if m.group(3) and not h["time"]:          # keep-first (A2)
-                h["time"] = m.group(3)
+            if time and not h["time"]:                # keep-first (A2)
+                h["time"] = time
             datelines.append({"idx": len(datelines), "doctype": "",
-                              "placename": m.group(1), "date": m.group(2),
-                              "time": m.group(3) or "", "note": ""})
+                              "placename": place, "date": date,
+                              "time": time, "note": ""})
             continue
         if lab == "medic":
-            m = RE_MEDIC_SPLIT.fullmatch(t)
-            pers, role = m.group(1), m.group(2)
+            if use_rules:
+                m = RE_MEDIC_SPLIT.fullmatch(t)
+                pers, role = m.group(1), m.group(2)
+            else:
+                segs = tag_segments("medic", t)
+                pers = segs.get("persname", "")
+                role = segs.get("role", "")
             medic_names.append(pers)
             medics.append({"idx": len(medics), "idno": "", "role": role,
                            "persname": pers, "affiliation": "", "organisation": "",
                            "institution": "", "address": "", "country": "",
                            "town": "", "email": "", "phone": "", "fax": "",
                            "web": "", "note": ""})
-            pn = parse_person_name(pers)
+            pn = name_fn(pers)
             person_names.append({"idx": len(person_names), **pn})
             continue
         if lab == "idno":
@@ -218,7 +248,7 @@ def parse_header_zone(lines: list[str],
             p = patient()
             p["persname"] = merge_field(p["persname"], t)
             patient_names.append(t)
-            pn = parse_person_name(t)
+            pn = name_fn(t)
             person_names.append({"idx": len(person_names), **pn})
             continue
         if lab == "birthdate":

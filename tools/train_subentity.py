@@ -1,0 +1,153 @@
+"""Fit the sub-entity token taggers (dateline / medic / name-person).
+
+Gold token labels come from the same segment specs the rule twins use —
+the reference's createTraining pre-annotation semantics (regex groups for
+dateline/medic, header.parse_person_name's split for names) — over the
+golden corpus front-matter lines of docs 0..N_TRAIN plus the reference
+header fixture's shapes. Multiclass perceptron per model to zero token
+errors; committed as models/subentity_models.json.
+
+Run from the repo root:  python tools/train_subentity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from grobid_medical_report_spark.corpus import ZONE_OF, generate_doc  # noqa: E402
+from grobid_medical_report_spark.functions.textnorm import \
+    normalize_space  # noqa: E402
+from grobid_medical_report_spark.operators import subentity as se  # noqa: E402
+from grobid_medical_report_spark.operators.header import (  # noqa: E402
+    RE_MEDIC_SPLIT, parse_person_name)
+from grobid_medical_report_spark.operators.segmenter import \
+    RE_DATELINE  # noqa: E402
+
+N_TRAIN = 300
+MAX_EPOCHS = 60
+
+#: reference header-fixture shapes (processHeaderFromPDF.xml content)
+FIXTURE_LINES = {
+    "dateline": ["CRETEIL, le 29/04/2000"],
+    "medic": ["Dr Mathieu MERLIN, Opérateur", "Dr Leroy BLANC, Assistant",
+              "Dr Jolie MASSON, Anesthésiste"],
+    "name-person-medical": ["Dr Mathieu MERLIN",
+                            "Madame Abba Voletta DUPONT"],
+}
+
+
+def _gold_tags(model: str, text: str,
+               segments: list[tuple[int, int, str]]) -> list[str]:
+    toks = se.tokens_of(text)
+    tags = []
+    for s, _tok in toks:
+        lab = "O"
+        for s0, s1, field in segments:
+            if s0 <= s < s1:
+                lab = field
+                break
+        tags.append(lab)
+    return tags
+
+
+def _segments_for(model: str, text: str) -> list[tuple[int, int, str]]:
+    if model == "dateline":
+        m = RE_DATELINE.fullmatch(text)
+        segs = [(m.start(1), m.end(1), "placename"),
+                (m.start(2), m.end(2), "date")]
+        if m.group(3):
+            segs.append((m.start(3), m.end(3), "time"))
+        return segs
+    if model == "medic":
+        m = RE_MEDIC_SPLIT.fullmatch(text)
+        return [(m.start(1), m.end(1), "persname"),
+                (m.start(2), m.end(2), "role")]
+    pn = parse_person_name(text)
+    segs = []
+    pos = 0
+    for tok in text.split(" "):
+        if tok:
+            if tok == pn["title"] and not any(f == "title" for *_, f in segs):
+                segs.append((pos, pos + len(tok), "title"))
+            elif tok == pn["surname"] and pos + len(tok) == len(text):
+                segs.append((pos, pos + len(tok), "surname"))
+            elif tok == pn["forename"] \
+                    and all(f != "forename" for *_, f in segs):
+                segs.append((pos, pos + len(tok), "forename"))
+            else:
+                segs.append((pos, pos + len(tok), "middlename"))
+        pos += len(tok) + 1
+    return segs
+
+
+def examples(model: str, lo: int, hi: int):
+    lines: list[str] = list(FIXTURE_LINES[model])
+    for i in range(lo, hi):
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            if ZONE_OF[lab] != "header":
+                continue
+            t = normalize_space(d["spans"][j]["text"])
+            fld = d["line_fields"][j]
+            if model == "dateline" and fld == "dateline":
+                lines.append(t)
+            elif model == "medic" and fld == "medic":
+                lines.append(t)
+            elif model == "name-person-medical":
+                if fld == "medic":
+                    m = RE_MEDIC_SPLIT.fullmatch(t)
+                    if m:
+                        lines.append(m.group(1))
+                elif fld == "patient":
+                    lines.append(t)
+    for text in lines:
+        toks = se.tokens_of(text)
+        gold = _gold_tags(model, text, _segments_for(model, text))
+        yield text, se.token_features(toks), \
+            [se.SUB_LABELS[model].index(g) for g in gold]
+
+
+def train(data, n_labels):
+    W = [[0.0] * len(se.SUB_FEATURES) for _ in range(n_labels)]
+    for epoch in range(MAX_EPOCHS):
+        errors = 0
+        for _text, feats, gold in data:
+            for f, g in zip(feats, gold):
+                best, arg = None, 0
+                for j in range(n_labels):
+                    s = sum(W[j][k] for k in f)
+                    if best is None or s > best:
+                        best, arg = s, j
+                if arg != g:
+                    errors += 1
+                    for k in f:
+                        W[g][k] += 1.0
+                        W[arg][k] -= 1.0
+        print(f"  epoch {epoch}: {errors} token errors")
+        if errors == 0:
+            return W, epoch
+    raise SystemExit(f"{MAX_EPOCHS} epochs without convergence")
+
+
+def main() -> None:
+    out = {}
+    for model in se.SUB_LABELS:
+        data = list(examples(model, 0, N_TRAIN))
+        print(f"{model}: {len(data)} strings")
+        W, ep = train(data, len(se.SUB_LABELS[model]))
+        out[model] = {"labels": list(se.SUB_LABELS[model]),
+                      "features": list(se.SUB_FEATURES), "W": W,
+                      "meta": {"train_strings": len(data),
+                               "epochs_to_zero_errors": ep}}
+    os.makedirs(os.path.dirname(se.SUB_MODEL_PATH), exist_ok=True)
+    with open(se.SUB_MODEL_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {se.SUB_MODEL_PATH}")
+
+
+if __name__ == "__main__":
+    main()
