@@ -52,15 +52,23 @@ def main(argv: list[str] | None = None) -> int:
             write_training_data
 
         write_training_data(corpus_df(spark, args.n_docs), args.output)
+        import train_body
+        import train_fields
         import train_ner
         import train_segmenter
+        import train_subentity
 
         train_segmenter.main()
         train_ner.main()
+        train_body.main()
+        train_fields.main()
+        train_subentity.main()
         print(json.dumps({"mode": "train", "n_docs": args.n_docs,
                           "training_data": args.output,
-                          "models": ["segmenter_model.json",
-                                     "ner_model.json"]}))
+                          "models": ["segmenter_model.json", "ner_model.json",
+                                     "body_model.json", "header_model.json",
+                                     "leftnote_model.json",
+                                     "subentity_models.json"]}))
         return 0
 
     # evaluate: distributed prediction-vs-annotation joins
