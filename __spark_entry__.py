@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for m in _MODULES:
         out.update(m.QUERIES)
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
+    out.update(getattr(strings, "ROWS_ONLY_QUERIES", {}))
     out.update(sketches.ROWS_ONLY_QUERIES)
     out.update({
         "x_extract_spans": x_extract_spans,

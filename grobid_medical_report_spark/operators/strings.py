@@ -102,9 +102,64 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def x_anonymize_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full X9 anonymizer family (functions/anonymize.py, the six
+    AnonymizeData.java variants, deterministic) applied to EXTRACTED header
+    PII — the reference's anonymization use-case: docnum/idno masking,
+    patient+medic name substitution, address rewriting, ISO-date re-basing
+    (patient mode for birthdates). Arrow-batched; rows-only (the seeded
+    draws have no SQL equivalent)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..corpus import corpus_df
+    from ..functions.anonymize import (anonymize_address, anonymize_date_iso,
+                                       anonymize_number,
+                                       anonymize_person_name)
+    from ..plans.pipeline import extract
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ext = extract(corpus_df(spark, min(n, 200)))
+
+    def anon(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, hdr, pats in zip(pdf["doc_id"], pdf["header"],
+                                      pdf["patients"]):
+                if hdr is None:
+                    continue
+                p0 = pats[0] if len(pats) else None
+                rows.append({
+                    "doc_id": did,
+                    "docnum_anon": anonymize_number(hdr["docnum"]),
+                    "date_anon": anonymize_date_iso(hdr["date_iso"]),
+                    "medics_anon": "; ".join(anonymize_person_name(m)
+                                             for m in hdr["medics"]),
+                    "patient_anon": (anonymize_person_name(p0["persname"])
+                                     if p0 is not None else ""),
+                    "patient_id_anon": (anonymize_number(p0["id"])
+                                        if p0 is not None else ""),
+                    "address_anon": (anonymize_address(p0["address"])
+                                     if p0 is not None else ""),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "docnum_anon", "date_anon", "medics_anon",
+                "patient_anon", "patient_id_anon", "address_anon"])
+
+    return ext.select("doc_id", "header", "patients").mapInPandas(
+        anon, schema="doc_id string, docnum_anon string, date_anon string, "
+                     "medics_anon string, patient_anon string, "
+                     "patient_id_anon string, address_anon string")
+
+
 QUERIES = {
     "q_str_affixes": q_str_affixes,
     "q_str_titlecase": q_str_titlecase,
     "q_str_charclass": q_str_charclass,
     "q_doc_anonymize": q_doc_anonymize,
+}
+
+ROWS_ONLY_QUERIES = {
+    "x_anonymize_extraction": x_anonymize_extraction,
 }
