@@ -155,6 +155,84 @@ def x_eval_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_labels(pairs)
 
 
+def _pred_fine_labels(spark: SparkSession, n: int) -> DataFrame:
+    """Distributed predictions of the FITTED body / header-field /
+    left-note-field models over the corpus: (doc_id, line_idx, predicted,
+    pred_field), routed by the segmenter's zones like the kernel does."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from grobid_medical_report_spark.operators.body import \
+        label_body_line_fitted
+    from grobid_medical_report_spark.operators.header import \
+        label_header_line_fitted
+    from grobid_medical_report_spark.operators.leftnote import \
+        label_leftnote_line_fitted
+    from grobid_medical_report_spark.operators.segmenter import segment_doc
+
+    src = corpus_df(spark, n)
+
+    def pred(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = list(spans)
+                texts = [s["text"] for s in spans]
+                is_media = np.array([s["kind"] == "media" for s in spans])
+                zones = segment_doc(texts, is_media)
+                for j, z in enumerate(zones):
+                    lab, fld = z, ""
+                    if z == "body":
+                        lab = label_body_line_fitted(texts[j],
+                                                     bool(is_media[j]))
+                    elif z == "header":
+                        fld = label_header_line_fitted(texts[j])
+                    elif z == "leftnote":
+                        fld = label_leftnote_line_fitted(texts[j])
+                    rows.append((did, j, lab, fld))
+            yield pd.DataFrame(rows, columns=["doc_id", "line_idx",
+                                              "predicted", "pred_field"])
+
+    return src.mapInPandas(
+        pred, schema="doc_id string, line_idx int, predicted string, "
+                     "pred_field string")
+
+
+def x_eval_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label P/R/F1 of the FITTED body-line model against the golden
+    fine-label truth (distributed prediction-vs-annotation join)."""
+    from grobid_medical_report_spark.corpus import truth_fine_lines_df
+    from grobid_medical_report_spark.operators.body import BODY_LABELS
+    from grobid_medical_report_spark.operators.evaluation import \
+        evaluate_labels
+
+    n = min(_n_docs(spark, sf_dir), 200)
+    pred = _pred_fine_labels(spark, n).select("doc_id", "line_idx",
+                                              "predicted")
+    truth = (truth_fine_lines_df(spark, n)
+             .filter(F.col("label").isin(*BODY_LABELS))
+             .select("doc_id", "line_idx", "label"))
+    return evaluate_labels(truth.join(pred, ["doc_id", "line_idx"]))
+
+
+def x_eval_header_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field P/R/F1 of the FITTED header/left-note field models."""
+    from grobid_medical_report_spark.corpus import truth_fine_lines_df
+    from grobid_medical_report_spark.operators.evaluation import \
+        evaluate_labels
+
+    n = min(_n_docs(spark, sf_dir), 200)
+    pred = (_pred_fine_labels(spark, n)
+            .select("doc_id", "line_idx",
+                    F.col("pred_field").alias("predicted")))
+    truth = (truth_fine_lines_df(spark, n)
+             .filter(F.col("field") != "")
+             .select("doc_id", "line_idx", F.col("field").alias("label")))
+    return evaluate_labels(truth.join(pred, ["doc_id", "line_idx"]))
+
+
 def x_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path end-to-end: stage a small corpus as parquet
     files, drain it with an availableNow micro-batch stream through the SAME
@@ -212,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_training_data": x_training_data,
         "x_eval_segmenter": x_eval_segmenter,
         "x_eval_ner": x_eval_ner,
+        "x_eval_body": x_eval_body,
+        "x_eval_header_fields": x_eval_header_fields,
         "x_stream_extract": x_stream_extract,
     })
     return out

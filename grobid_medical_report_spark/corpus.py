@@ -627,6 +627,30 @@ def truth_zone_lines_df(spark, n_docs: int):
     return rng_df.mapInPandas(gen, schema="doc_id string, line_idx int, label string")
 
 
+def truth_fine_lines_df(spark, n_docs: int):
+    """Distributed golden truth of FINE line labels (doc_id, line_idx,
+    label, field): the annotated side for the body / header-field /
+    left-note-field model evals (label = generator line label; field = the
+    header/left-note field truth, '' elsewhere)."""
+    import pandas as pd
+
+    parts = spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                d = generate_doc(int(i))
+                for j, lab in enumerate(d["line_labels"]):
+                    rows.append((d["doc_id"], j, lab, d["line_fields"][j]))
+            yield pd.DataFrame(rows, columns=["doc_id", "line_idx",
+                                              "label", "field"])
+
+    return rng_df.mapInPandas(
+        gen, schema="doc_id string, line_idx int, label string, field string")
+
+
 def truth_entities_df(spark, n_docs: int):
     """Distributed golden truth table of NER entity spans
     (doc_id, span_order, start, end, label) — the annotated side of the NER

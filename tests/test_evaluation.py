@@ -56,3 +56,13 @@ def test_ner_eval_perfect_on_golden(spark):
     rows = entrymod.x_eval_ner(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r["f1"] == 1.0 for r in rows), \
         [(r["label"], r["f1"]) for r in rows if r["f1"] != 1.0]
+
+
+def test_eval_body_and_header_fields_perfect(spark):
+    """The fitted body/header/left-note models score P/R/F1 = 1.0 on the
+    golden annotations through the distributed eval joins."""
+    import __spark_entry__ as entry
+
+    for q in ("x_eval_body", "x_eval_header_fields"):
+        rows = entry.queries()[q](spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r["f1"] == 1.0 for r in rows), q
