@@ -356,6 +356,10 @@ _ID, _IP = _NF["digit"], _NF["punct"]
 
 #: (states, token-feature-sets) signature -> decoded global-state path
 _SEG_DECODE_CACHE: dict = {}
+#: (category, token-shape bytes) -> tag tuple, for single-candidate
+#: intervals (96% of them): the whole feature matrix is a pure function of
+#: the shapes there, so the numpy decode runs once per distinct signature
+_SINGLE_CACHE: dict = {}
 
 
 def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
@@ -374,22 +378,59 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         return []
     WL = (_ner_weights_list() if W is None
           else [list(row) for row in W])
-    ivs: list[list[int]] = []
-    for c in cands:                       # sorted by start
+    # merged candidate intervals, grouping each interval's candidates
+    # inline (cands are start-sorted) — no per-interval rescan
+    ivs: list[list] = []
+    for c in cands:
         s, e = c[0], c[3]
         if ivs and s <= ivs[-1][1]:
             if e > ivs[-1][1]:
                 ivs[-1][1] = e
+            ivs[-1][2].append(c)
         else:
-            ivs.append([s, e])
+            ivs.append([s, e, [c]])
     out: list[dict[str, Any]] = []
-    for a, b in ivs:
+    for a, b, seg in ivs:
         toks = [(m.start(), m.end())
                 for m in RE_TOKEN.finditer(text, a, b)]
         if not toks:
             continue
         n = len(toks)
-        seg = [c for c in cands if c[0] >= a and c[3] <= b]
+        # fast path: ONE candidate (96% of intervals) — the decode outcome
+        # is fully determined by (category, per-token shape codes): the
+        # interval IS the candidate span, so cb fires at token 0 and ci on
+        # the rest, and the feature matrix is a pure function of the shapes
+        if len(seg) == 1 and W is None:
+            cat = seg[0][4]
+            shapes = bytes(
+                (text[s].isupper())
+                | (text[s].isdigit() << 1)
+                | ((not text[s].isalnum()) << 2)
+                for s, _e in toks)
+            key1 = (cat, shapes)
+            tags = _SINGLE_CACHE.get(key1)
+            if tags is None:
+                X = token_features(text, toks, seg)
+                em = X @ _ner_weights().T
+                tags = tuple(NER_STATES[p] for p in _bio_decode(em))
+                if len(_SINGLE_CACHE) >= 100_000:
+                    _SINGLE_CACHE.clear()
+                _SINGLE_CACHE[key1] = tags
+            i = 0
+            while i < n:
+                st = tags[i]
+                if st.startswith("B-"):
+                    tcat = st[2:]
+                    j = i + 1
+                    while j < n and tags[j] == f"I-{tcat}":
+                        j += 1
+                    s0, s1 = toks[i][0], toks[j - 1][1]
+                    out.append({"type": tcat, "text": text[s0:s1],
+                                "start": s0, "end": s1})
+                    i = j
+                else:
+                    i += 1
+            continue
         # restricted state list: O + (B,I) per category present, ordered by
         # global state index so tie-breaks replicate argmax-first-index
         cats = sorted({c[4] for c in seg}, key=lambda t: _NS[f"B-{t}"])
