@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
                     help="parquet dir / iceberg:<table> / synth:<n_docs>")
+    ap.add_argument("--layout", action="store_true",
+                    help="synth inputs carry the SURVEY §1.1 layout attrs "
+                         "(font/size/bold/italic/x/y per span)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--n-parts", type=int, default=64)
@@ -53,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("run_extraction")
     spark.sparkContext.setLogLevel("WARN")
     if args.input.startswith("synth:"):
-        src = corpus_df(spark, int(args.input.split(":", 1)[1]))
+        src = corpus_df(spark, int(args.input.split(":", 1)[1]),
+                        layout=args.layout)
     else:
         src = read_corpus(spark, args.input)
 
