@@ -134,8 +134,8 @@ _BODY_WL: list[list[float]] | None = None
 def _body_weights() -> list[list[float]]:
     global _BODY_WL
     if _BODY_WL is None:
-        with open(BODY_MODEL_PATH) as fh:
-            m = _json.load(fh)
+        from ..models import load_model
+        m = load_model("body_model.json")        # zip-safe (--py-files)
         assert tuple(m["labels"]) == BODY_LABELS \
             and tuple(m["features"]) == BODY_FEATURES, \
             "body_model.json is stale — rerun tools/train_body.py"

@@ -133,8 +133,8 @@ _HEADER_WL: list[list[float]] | None = None
 def _header_weights() -> list[list[float]]:
     global _HEADER_WL
     if _HEADER_WL is None:
-        with open(HEADER_MODEL_PATH) as fh:
-            m = _json.load(fh)
+        from ..models import load_model
+        m = load_model("header_model.json")      # zip-safe (--py-files)
         assert tuple(m["labels"]) == HEADER_LABELS \
             and tuple(m["features"]) == HEADER_FEATURES, \
             "header_model.json is stale — rerun tools/train_fields.py"

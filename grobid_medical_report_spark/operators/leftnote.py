@@ -99,8 +99,8 @@ _LN_WL: list[list[float]] | None = None
 def _leftnote_weights() -> list[list[float]]:
     global _LN_WL
     if _LN_WL is None:
-        with open(LEFTNOTE_MODEL_PATH) as fh:
-            m = _json.load(fh)
+        from ..models import load_model
+        m = load_model("leftnote_model.json")    # zip-safe (--py-files)
         assert tuple(m["labels"]) == LEFTNOTE_LABELS \
             and tuple(m["features"]) == LEFTNOTE_FEATURES, \
             "leftnote_model.json is stale — rerun tools/train_fields.py"

@@ -292,11 +292,10 @@ _NER_W = None
 def _ner_weights():
     global _NER_W
     if _NER_W is None:
-        import json
-
         import numpy as np
-        with open(NER_MODEL_PATH) as f:
-            m = json.load(f)
+
+        from ..models import load_model
+        m = load_model("ner_model.json")         # zip-safe (--py-files)
         assert tuple(m["states"]) == NER_STATES \
             and tuple(m["features"]) == NER_FEATURES, \
             "ner_model.json is stale — rerun tools/train_ner.py"

@@ -363,8 +363,8 @@ def _model_weights() -> np.ndarray:
     tools/train_segmenter.py and committed as a model artifact."""
     global _MODEL_W
     if _MODEL_W is None:
-        with open(MODEL_PATH) as f:
-            m = json.load(f)
+        from ..models import load_model
+        m = load_model("segmenter_model.json")   # zip-safe (--py-files)
         assert m["states"] == STATES and tuple(m["features"]) == FEATURES, \
             "segmenter_model.json is stale — rerun tools/train_segmenter.py"
         _MODEL_W = np.array(m["W"], dtype=np.float64)

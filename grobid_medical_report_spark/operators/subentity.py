@@ -100,8 +100,8 @@ _W: dict[str, list[list[float]]] | None = None
 def _weights() -> dict[str, list[list[float]]]:
     global _W
     if _W is None:
-        with open(SUB_MODEL_PATH) as fh:
-            m = json.load(fh)
+        from ..models import load_model
+        m = load_model("subentity_models.json")  # zip-safe (--py-files)
         for name, labels in SUB_LABELS.items():
             assert tuple(m[name]["labels"]) == labels \
                 and tuple(m[name]["features"]) == SUB_FEATURES, \
