@@ -93,24 +93,32 @@ def anonymize_address(address: str) -> str:
     return " ".join(out)
 
 
+def _is_leap(year: int) -> bool:
+    """Proper Gregorian test — the reference checks ``currentYear % 4`` even
+    for the SHIFTED year (AnonymizeData.java:328), which would admit Feb 29
+    in 1900; we use the real rule on the year actually emitted."""
+    return year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+
+
 def _valid_day(rng: random.Random, month: int, year: int) -> int:
     if month in _DAYS_31:
         return rng.randrange(1, 32)
     if month == 2:
-        return rng.randrange(1, 30 if year % 4 == 0 else 29)
+        return rng.randrange(1, 30 if _is_leap(year) else 29)
     return rng.randrange(1, 31)
 
 
 def anonymize_date_iso(date: str, mode: str = "") -> str:
     """YYYY-MM-DD (or YYYY-month-DD) re-based: year becomes BASE_YEAR
-    (minus a seeded 1..200 for ``mode='patient'`` — birthdates must not
-    cluster at the current year), month/day drawn VALID for that month
-    incl. leap February."""
+    (minus a seeded 1..110 for ``mode='patient'`` — the reference's
+    max-human-age assumption, AnonymizeData.java:302 — so birthdates
+    neither cluster at the current year nor predate any plausible birth),
+    month/day drawn VALID for that month incl. leap February."""
     parts = date.split("-")
     if len(parts) != 3:
         return date
     rng = _rng(date, f"iso:{mode}")
-    year = BASE_YEAR - (rng.randrange(1, 201) if mode == "patient" else 0)
+    year = BASE_YEAR - (rng.randrange(1, 111) if mode == "patient" else 0)
     if parts[1].isdigit():
         month = rng.randrange(1, 13)
         day = _valid_day(rng, month, year)

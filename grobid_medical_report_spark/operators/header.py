@@ -195,10 +195,14 @@ def parse_header_zone(lines: list[str],
 
     label_fn = label_header_line_rules if use_rules else label_header_line_fitted
     name_fn = parse_person_name if use_rules else parse_person_name_fitted
+    # every field action below assumes its separator/regex is present; a
+    # fitted-model mispredict on an out-of-distribution line must DEGRADE
+    # to the 'note' action (like the rules cascade), not raise and fail the
+    # whole doc row (ADVICE r2: IndexError/AttributeError -> S3 error)
     for li, raw in enumerate(lines):
         t = normalize_space(raw)
         lab = label_fn(t, li in largest)
-        if lab == "docnum":
+        if lab == "docnum" and "°" in t:
             h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
             continue
         if lab == "dateline":
@@ -206,6 +210,9 @@ def parse_header_zone(lines: list[str],
             # tagger by default; regex-group twin under use_rules)
             if use_rules:
                 m = RE_DATELINE.fullmatch(t)
+                if m is None:
+                    h["note"] = merge_field(h["note"], t)
+                    continue
                 place, date, time = m.group(1), m.group(2), m.group(3) or ""
             else:
                 segs = tag_segments("dateline", t)
@@ -225,6 +232,9 @@ def parse_header_zone(lines: list[str],
         if lab == "medic":
             if use_rules:
                 m = RE_MEDIC_SPLIT.fullmatch(t)
+                if m is None:
+                    h["note"] = merge_field(h["note"], t)
+                    continue
                 pers, role = m.group(1), m.group(2)
             else:
                 segs = tag_segments("medic", t)
@@ -239,7 +249,7 @@ def parse_header_zone(lines: list[str],
             pn = name_fn(pers)
             person_names.append({"idx": len(person_names), **pn})
             continue
-        if lab == "idno":
+        if lab == "idno" and ":" in t:
             p = patient()
             p["id"] = merge_field(p["id"], t.split(":", 1)[1].strip())
             p["idtype"] = "IPP"
@@ -251,13 +261,13 @@ def parse_header_zone(lines: list[str],
             pn = name_fn(t)
             person_names.append({"idx": len(person_names), **pn})
             continue
-        if lab == "birthdate":
+        if lab == "birthdate" and "le" in t:
             patient()["birthdate"] = t.split("le", 1)[1].strip()
             continue
         if lab == "age":
             patient()["age"] = t
             continue
-        if lab == "patient_address":
+        if lab == "patient_address" and ":" in t:
             p = patient()
             p["address"] = merge_field(p["address"], t.split(":", 1)[1].strip())
             continue

@@ -128,9 +128,25 @@ def parse_leftnote_zone(lines: list[str],
     ln["medics"] = []
     label_fn = (label_leftnote_line_rules if use_rules
                 else label_leftnote_line_fitted)
+    # a fitted mispredict must degrade to the 'note' action, never raise on
+    # a missing separator/regex group (ADVICE r2) — mirror header.py
     for raw in lines:
         t = normalize_space(raw)
         lab = label_fn(t)
+        if lab in ("phone", "fax", "staff_org_phone", "staff_role_name",
+                   "staff_name"):
+            m = None
+            if lab in ("phone", "fax"):
+                if ":" not in t:
+                    lab = "note"
+            elif lab == "staff_org_phone":
+                m = RE_STAFF_ORG_PHONE.fullmatch(t)
+            elif lab == "staff_role_name":
+                m = RE_STAFF_ROLE_NAME.fullmatch(t)
+            else:
+                m = RE_STAFF_NAME.fullmatch(t)
+            if lab.startswith("staff") and m is None:
+                lab = "note"
         if lab == "org":
             ln["org"] = (ln["org"] + " " + t).strip()
         elif lab == "phone":           # "Tél : 01 ..." is the org's own line
@@ -138,13 +154,10 @@ def parse_leftnote_zone(lines: list[str],
         elif lab == "fax":
             ln["fax"] = t.split(":", 1)[1].strip()
         elif lab == "staff_org_phone":
-            m = RE_STAFF_ORG_PHONE.fullmatch(t)
             ln["medics"].append(f"orgName={m.group(1)}|phone={m.group(2)}")
         elif lab == "staff_role_name":
-            m = RE_STAFF_ROLE_NAME.fullmatch(t)
             ln["medics"].append(f"roleName={m.group(1)}|persName={m.group(2)}")
         elif lab == "staff_name":
-            m = RE_STAFF_NAME.fullmatch(t)
             ln["medics"].append(f"persName={m.group(1)}")
         elif lab == "staff_role":
             ln["medics"].append(f"roleName={t}")

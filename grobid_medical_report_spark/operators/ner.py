@@ -158,12 +158,30 @@ def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
     return cands
 
 
+#: heading-shaped colon line: short, <= 5 words, digit-free, no inner
+#: sentence boundary — matches every colon-suppressed line in the reference
+#: fixtures ('DIAGNOSTIC :', 'Histoire de la maladie :', ...) while leaving
+#: entity-bearing prose that merely ends with a colon taggable (ADVICE r2)
+_HEADING_MAX_LEN = 48
+
+
+def _is_heading_colon(text: str) -> bool:
+    return (len(text) <= _HEADING_MAX_LEN
+            and len(text.split()) <= 5
+            and not any(c.isdigit() for c in text)
+            and ". " not in text)
+
+
 def _shortcut(text: str) -> list[dict[str, Any]] | None:
     """Structural pre-rules shared by both resolvers (reference expected-
-    output quirks): label-shaped heading lines ('DIAGNOSTIC :') carry no
+    output quirks): heading-shaped colon lines ('DIAGNOSTIC :') carry no
     entities; an all-dash separator line is tagged <pathology> from its
-    second char (FromPDF fixture)."""
-    if text.endswith(":"):
+    second char. Both mirror the reference MODEL's production behavior on
+    its own fixture (processFrenchMedicalNERFromPDF.xml) — the dash rule is
+    annotation noise the trained reference CRF reproduces in production, so
+    reproducing it here is the faithful choice; callers that want clean
+    separator lines should strip all-dash lines upstream."""
+    if text.endswith(":") and _is_heading_colon(text):
         return []
     if RE_ALL_DASH.fullmatch(text):
         return [{"type": "pathology", "text": text[1:],

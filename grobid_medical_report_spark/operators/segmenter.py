@@ -456,10 +456,19 @@ def segment_doc(texts: list[str], is_media: np.ndarray,
         em = _emissions_rules(texts, is_media, first_chunk, layout)
     else:
         em = _emissions_fitted(texts, is_media, first_chunk, layout)
-    # fast path: without an ANNEXE marker the transition matrix is inert
-    # (annex_i emission 0.9 never beats body 1.0; annex_b is -inf), so the
-    # Viterbi path is the per-line argmax — skip the O(L*K^2) DP
+    # B-I start constraint: a document cannot OPEN in annex_i (I- must
+    # follow a B-); expressed in the emissions so both decoders agree
+    em[0, _Z["annex_i"]] = -1e9
+    # fast path: without an ANNEXE marker anywhere, annex_b is -inf on every
+    # line, and annex_i is only reachable FROM annex_b/annex_i (B-I
+    # transition constraint) — so no valid path touches either state and
+    # Viterbi reduces to the per-line argmax over the remaining states.
+    # annex_i must be masked explicitly: the FITTED emission weights carry
+    # no "annex_i < body" invariant (the rule emissions do, 0.9 < 1.0), so
+    # an unmasked argmax could emit a structurally invalid annex_i run with
+    # no annex_b ancestor (ADVICE r2).
     if em[:, _Z["annex_b"]].max() < 0:
+        em[:, _Z["annex_i"]] = -1e9
         path = np.argmax(em, axis=1)
     else:
         path = viterbi(em)

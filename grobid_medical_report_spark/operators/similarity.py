@@ -174,26 +174,30 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str,
         ia, ib = np.nonzero(S >= NEAR_DUP_TAU - 1e-7)
         ids_a = A["vec_id"].to_numpy()
         ids_b = Bv["vec_id"].to_numpy()
-        out_a, out_b, out_s = [], [], []
-        for p, q in zip(ia, ib):
-            u, v = int(ids_a[p]), int(ids_b[q])
-            if bi == bj:
-                if u >= v:   # diagonal group sees (p,q) AND (q,p): keep one
-                    continue
-            elif u > v:      # off-diagonal pair appears once: order it
-                u, v = v, u
-            # exact re-score: sequential left-to-right fold, the same IEEE
-            # double op order as the HOF/DuckDB dot product (BLAS matmul
-            # may differ in the last ulp, which round(.,9) could expose)
-            d = 0.0
-            for x, y in zip(XA[p], XB[q]):
-                d += x * y
-            sim = round(d / (la[p] * lb[q]), 9)
-            if sim >= NEAR_DUP_TAU:
-                out_a.append(u)
-                out_b.append(v)
-                out_s.append(sim)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s}) \
+        ua, ub = ids_a[ia], ids_b[ib]
+        keep = ua < ub if bi == bj else np.ones(len(ia), dtype=bool)
+        ia, ib, ua, ub = ia[keep], ib[keep], ua[keep], ub[keep]
+        u = np.minimum(ua, ub)           # pair appears once: order it
+        v = np.maximum(ua, ub)
+        # vectorized re-score: ONE einsum over the surviving pairs (a
+        # dense-dup corpus could make this set large — a per-pair Python
+        # loop here would dominate the block matmul). einsum's pairwise/FMA
+        # summation can differ from the HOF/DuckDB sequential fold in the
+        # last ulp, which round(.,9) could expose — so only pairs whose
+        # value lands within 1e-13 of a 0.5e-9 rounding grid point are
+        # re-folded sequentially (exact IEEE op-order parity), everything
+        # else is provably round-stable
+        d = np.einsum("ij,ij->i", XA[ia], XB[ib])
+        sim = d / (la[ia] * lb[ib])
+        simr = np.round(sim, 9)
+        b = sim * 1e9
+        for k in np.nonzero(np.abs(b - np.round(b * 2) / 2) < 1e-4)[0]:
+            acc = 0.0
+            for x, y in zip(XA[ia[k]], XB[ib[k]]):
+                acc += x * y
+            simr[k] = round(acc / (la[ia[k]] * lb[ib[k]]), 9)
+        m = simr >= NEAR_DUP_TAU
+        return pd.DataFrame({"id_a": u[m], "id_b": v[m], "sim": simr[m]}) \
             .astype({"id_a": "int64", "id_b": "int64", "sim": "float64"})
 
     return (rep.groupBy("bi", "bj")

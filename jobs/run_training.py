@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", choices=("train", "evaluate"), required=True)
     ap.add_argument("--n-docs", type=int, default=300)
     ap.add_argument("--output", help="training-data parquet dir (train mode)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="scale-factor data dir for evaluate mode "
+                         "(sizes the eval corpus like --input in "
+                         "run_extraction.py)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
@@ -74,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     # evaluate: distributed prediction-vs-annotation joins
     import __spark_entry__ as entry
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = args.sf_dir
     seg = entry.x_eval_segmenter(spark, sf_dir).collect()
     nr = entry.x_eval_ner(spark, sf_dir).collect()
     for model, rows in (("medical-report-segmenter", seg),

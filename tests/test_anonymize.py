@@ -52,7 +52,14 @@ def test_date_iso_valid_and_rebased():
     assert y == BASE_YEAR and 1 <= m <= 12 and 1 <= d <= 31
     born = anonymize_date_iso("1992-03-13", mode="patient")
     yb = int(born.split("-")[0])
-    assert BASE_YEAR - 200 <= yb < BASE_YEAR           # patients not "born now"
+    assert BASE_YEAR - 110 <= yb < BASE_YEAR           # max human age 110
+    # Feb 29 only in true Gregorian leap years (1900-style years excluded)
+    from grobid_medical_report_spark.functions.anonymize import _is_leap
+    for probe in range(400):
+        d = anonymize_date_iso(f"19{probe % 100:02d}-02-0{1 + probe % 9}", mode="patient")
+        y, m, dd = d.split("-")
+        if m == "02" and dd == "29":
+            assert _is_leap(int(y)), d
     assert out == anonymize_date_iso("1992-03-13")
 
 

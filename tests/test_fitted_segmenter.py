@@ -103,3 +103,30 @@ def test_retraining_converges_smoke():
     W, epochs = ts.train(examples)
     for X, gate, gold in examples:
         assert (ts.decode(X, gate, W) == gold).all()
+
+
+def test_fast_path_never_emits_structurally_invalid_annex():
+    """ADVICE r2 repro: with fitted weights the argmax shortcut could label
+    lines 'annex' (annex_i) with no ANNEXE marker anywhere — structurally
+    invalid under the B-I constraint. The fast path must mask annex_i."""
+    texts = ["CHU de Rennes - Service", "N° 123456789",
+             "COMPTE RENDU OPERATOIRE", "Antécédents :",
+             "Le patient va bien.", "1/1"]
+    is_media = np.zeros(len(texts), dtype=bool)
+    for use_rules in (False, True):
+        got = seg.segment_doc(texts, is_media, use_rules=use_rules)
+        assert "annex" not in got, got
+
+
+def test_annex_i_requires_marker_everywhere():
+    """Property: any decode output containing 'annex' must include an ANNEXE
+    marker line, and a doc can never OPEN in annex (start constraint)."""
+    for i in range(60):
+        d = generate_doc(i)
+        texts = [s["text"] for s in d["spans"]]
+        is_media = np.array([s["kind"] == "media" for s in d["spans"]])
+        got = seg.segment_doc(texts, is_media)
+        if "annex" in got:
+            assert any(seg.RE_ANNEX_START.match(t) for t in texts)
+            first = got.index("annex")
+            assert seg.RE_ANNEX_START.match(texts[first]), (i, first)
