@@ -112,6 +112,64 @@ def x_extract_tei(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_tei_df(_extracted(spark, sf_dir))
 
 
+def x_extract_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient struct fields — exercises the FITTED patient token tagger:
+    ~35% of docs carry a mixed line (name + birthdate + address in one
+    string) that only token-level decoding can split
+    (operators/subentity.py; reference PatientParser.java:58-222)."""
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("doc_id", F.explode("patients").alias("p"))
+               .select("doc_id", F.col("p.idx").alias("patient_idx"),
+                       F.col("p.id").alias("id"),
+                       F.col("p.persname").alias("persname"),
+                       F.col("p.birthdate").alias("birthdate"),
+                       F.col("p.age").alias("age"),
+                       F.col("p.address").alias("address")))
+
+
+def _decompose_fn(parser, fields):
+    from typing import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                segs = parser(txt or "")
+                for f in fields:
+                    if segs.get(f):
+                        rows.append((did, f, segs[f]))
+            yield pd.DataFrame(rows, columns=["doc_id", "field", "value"])
+    return fn
+
+
+def x_extract_org_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterhead org string -> pole/service decomposition via the FITTED
+    organization token tagger (reference OrganizationParser.java:58-...).
+    The mixed shape 'Pôle Femmes - Mères - Enfants - SERVICE DE X' must
+    split at the LAST dash — sequence context a line model cannot see."""
+    from grobid_medical_report_spark.operators.subentity import \
+        parse_org_fields
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("doc_id", F.col("leftnote.org").alias("text"))
+            .mapInPandas(_decompose_fn(parse_org_fields, ("pole", "service")),
+                         schema="doc_id string, field string, value string"))
+
+
+def x_extract_address_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postal address -> streetnumber/streetname/postcode/city via the
+    FITTED address token tagger (reference AddressParser.java:57-...)."""
+    from grobid_medical_report_spark.operators.subentity import \
+        parse_address_fields
+    ext = _extracted(spark, sf_dir)
+    return (ext.select("doc_id", F.col("leftnote.address").alias("text"))
+            .mapInPandas(_decompose_fn(parse_address_fields,
+                                       ("streetnumber", "streetname",
+                                        "postcode", "city")),
+                         schema="doc_id string, field string, value string"))
+
+
 def x_extract_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction over the layout-enriched corpus (SURVEY §1.1 token attrs:
     font/size/bold/italic/x/y on every span): marker-less headings, bare
@@ -298,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_sentences": x_extract_sentences,
         "x_extract_tei": x_extract_tei,
         "x_extract_markers": x_extract_markers,
+        "x_extract_patients": x_extract_patients,
+        "x_extract_org_fields": x_extract_org_fields,
+        "x_extract_address_fields": x_extract_address_fields,
     }
     for m in _MODULES:
         out.update(m.QUERIES)
@@ -349,6 +410,13 @@ _X_ORACLES = {
     "x_extract_markers": _golden(
         "expected_markers", "doc_id, span_order, marker_kind, target"),
     "x_extract_tei": _golden("expected_tei", "doc_id, tei"),
+    "x_extract_patients": _golden(
+        "expected_patients",
+        "doc_id, patient_idx, id, persname, birthdate, age, address"),
+    "x_extract_org_fields": _golden(
+        "expected_org_fields", "doc_id, field, value"),
+    "x_extract_address_fields": _golden(
+        "expected_address_fields", "doc_id, field, value"),
 }
 
 

@@ -334,18 +334,30 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
     pf, pm, pl = (rng.choice(lex.FIRST_NAMES), rng.choice(lex.FIRST_NAMES),
                   rng.choice(lex.LAST_NAMES))
     ppers = f"{ptitle} {pf} {pm} {pl}"
-    emit("header", ppers, field="patient")
     birth = _rand_date(rng)
-    emit("header", f"Né(e) le {birth}", field="birthdate")
     age = f"{rng.randrange(1, 99)} ans"
-    emit("header", age, field="age")
-    paddr = (f"Demeurant : {rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
-             f"{rng.choice(lex.CITIES)}")
-    emit("header", paddr, field="patient_address")
+    paddr_val = (f"{rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
+                 f"{rng.choice(lex.CITIES)}")
+    # MIXED patient line (~35% of docs): name + birthdate + address in ONE
+    # line — the shape real documents have and the reason the reference
+    # runs a dedicated token-level CRF over the patient block
+    # (PatientParser.java:58-222, FeaturesVectorPatient.java:164-427).
+    # Decoding it requires the fitted patient token tagger
+    # (operators/subentity.py) — a line-granularity field model cannot
+    # split it.
+    if rng.random() < 0.35:
+        emit("header", f"{ppers}, né(e) le {birth}, demeurant : {paddr_val}",
+             field="patient")
+        emit("header", age, field="age")
+    else:
+        emit("header", ppers, field="patient")
+        emit("header", f"Né(e) le {birth}", field="birthdate")
+        emit("header", age, field="age")
+        emit("header", f"Demeurant : {paddr_val}", field="patient_address")
     header["patients"].append(ppers)
     patients_fix.append({"idx": 0, "id": ipp, "idtype": "IPP", "persname": ppers,
                          "sex": "", "birthdate": birth, "age": age, "birthplace": "",
-                         "deathdate": "", "address": paddr.replace("Demeurant : ", ""),
+                         "deathdate": "", "address": paddr_val,
                          "country": "", "town": "", "phone": "", "email": "", "note": ""})
     person_names.append({"idx": len(person_names), "title": ptitle, "forename": pf,
                          "middlename": pm, "surname": pl, "suffix": ""})
@@ -359,17 +371,47 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
               f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
     ln_fax = (f"Fax : 01 {rng.randrange(10, 100)} {rng.randrange(10, 100)} "
               f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
-    for t, fld in ((pole, "org"), (service, "org"),
-                   (ln_street, "address_street"), (ln_pc, "address_pc"),
-                   (ln_tel, "phone"), (ln_fax, "fax")):
+    # MIXED letterhead shapes (~35% each): the org hierarchy on one line
+    # ("Pôle X - SERVICE DE Y") and the full postal address on one line
+    # ("17, Avenue ..., 22000 CITY Cedex") — decomposing them requires the
+    # fitted organization / address token taggers (the reference's
+    # OrganizationParser.java:58-… / AddressParser.java:57-…); in
+    # particular the settlement must be recovered from INSIDE the combined
+    # address line.
+    mixed_org = rng.random() < 0.35
+    mixed_addr = rng.random() < 0.35
+    front: list[tuple[str, str]] = []
+    if mixed_org:
+        front.append((f"{pole} - {service}", "org"))
+    else:
+        front.extend(((pole, "org"), (service, "org")))
+    if mixed_addr:
+        front.append((f"{ln_street}, {ln_pc}", "address_street"))
+    else:
+        front.extend(((ln_street, "address_street"), (ln_pc, "address_pc")))
+    for t, fld in front + [(ln_tel, "phone"), (ln_fax, "fax")]:
         emit("leftnote", t, field=fld)
     leftnote = {
-        "idno": "", "org": f"{pole} {service}",
-        "address": f"{ln_street} {ln_pc}", "country": "France",
+        "idno": "",
+        "org": f"{pole} - {service}" if mixed_org else f"{pole} {service}",
+        "address": (f"{ln_street}, {ln_pc}" if mixed_addr
+                    else f"{ln_street} {ln_pc}"),
+        "country": "France",
         "settlement": city, "phone": ln_tel.split(": ", 1)[1],
         "fax": ln_fax.split(": ", 1)[1], "email": "", "web": "",
         "medics": [], "note": "",
     }
+    #: sub-entity decomposition truth (the organization / address child
+    #: models' golden side — x_extract_org_fields / x_extract_address_fields)
+    org_fields = [{"field": "pole", "value": pole},
+                  {"field": "service", "value": service}]
+    _st_num, _st_name = ln_street.split(", ", 1)
+    address_fields = [
+        {"field": "streetnumber", "value": _st_num},
+        {"field": "streetname", "value": _st_name},
+        {"field": "postcode", "value": ln_pc.split(" ", 1)[0]},
+        {"field": "city", "value": ln_pc.split(" ", 1)[1]},
+    ]
 
     # ---- body pages -------------------------------------------------------
     for page in range(1, n_pages + 1):
@@ -541,6 +583,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         "doc_id": doc_id, "bucket": bucket, "n_pages": n_pages,
         "spans": spans, "expected_spans": expected_spans, "zones": zones,
         "header": header, "leftnote": leftnote,
+        "org_fields": org_fields, "address_fields": address_fields,
         "medics": medics_fix, "patients": patients_fix,
         "datelines": datelines_fix, "person_names": person_names,
         "entities": expected_entities, "sentences": expected_sentences,

@@ -255,10 +255,21 @@ def parse_header_zone(lines: list[str],
             p["idtype"] = "IPP"
             continue
         if lab == "patient":
+            # sub-entity cascade: the patient TOKEN tagger separates
+            # name / birthdate / address when the line mixes them
+            # (reference PatientParser.java:58-222); on a pure-name line
+            # every token tags persname and the behavior is unchanged
+            from .subentity import parse_patient_line
+            seg = parse_patient_line(t, use_rules)
+            pers = seg["persname"] or t
             p = patient()
-            p["persname"] = merge_field(p["persname"], t)
-            patient_names.append(t)
-            pn = name_fn(t)
+            p["persname"] = merge_field(p["persname"], pers)
+            if seg["birthdate"]:
+                p["birthdate"] = seg["birthdate"]
+            if seg["address"]:
+                p["address"] = merge_field(p["address"], seg["address"])
+            patient_names.append(pers)
+            pn = name_fn(pers)
             person_names.append({"idx": len(person_names), **pn})
             continue
         if lab == "birthdate" and "le" in t:

@@ -170,6 +170,17 @@ def parse_leftnote_zone(lines: list[str],
             ln["country"] = "France"
         elif lab == "address_street":
             ln["address"] = (ln["address"] + " " + t).strip()
+            # a COMBINED address line ("17, Avenue ..., 22000 CITY Cedex")
+            # embeds the settlement — only the address token tagger
+            # (reference AddressParser.java:57-...) can recover it; a pure
+            # street line yields no city segment and nothing changes
+            from .subentity import parse_address_fields
+            city = parse_address_fields(t, use_rules).get("city", "")
+            if city:
+                if city.endswith(" Cedex"):
+                    city = city[: -len(" Cedex")]
+                ln["settlement"] = city
+                ln["country"] = "France"
         else:
             ln["note"] = (ln["note"] + " " + t).strip()
     return ln

@@ -227,10 +227,23 @@ def _sub_entity_rows(doc_id: str, line_idx: int, t: str, zone: str,
             _seg_token_rows("patient", doc_id, line_idx, t,
                             [(i, len(t), "id")], out)
         elif header_label == "patient":
-            _seg_token_rows("patient", doc_id, line_idx, t,
-                            [(0, len(t), "persname")], out)
-            _seg_token_rows("name-person-medical", doc_id, line_idx, t,
-                            _person_name_segments(t, 0), out)
+            from .subentity import RE_PATIENT_MIXED
+            m = RE_PATIENT_MIXED.fullmatch(t)
+            if m:
+                # mixed line: name + birthdate + address in one string —
+                # the token-granularity case (PatientParser.java:58-222)
+                _seg_token_rows("patient", doc_id, line_idx, t,
+                                [(m.start(1), m.end(1), "persname"),
+                                 (m.start(2), m.end(2), "birthdate"),
+                                 (m.start(3), m.end(3), "address")], out)
+                _seg_token_rows("name-person-medical", doc_id, line_idx,
+                                m.group(1),
+                                _person_name_segments(m.group(1), 0), out)
+            else:
+                _seg_token_rows("patient", doc_id, line_idx, t,
+                                [(0, len(t), "persname")], out)
+                _seg_token_rows("name-person-medical", doc_id, line_idx, t,
+                                _person_name_segments(t, 0), out)
         elif header_label == "birthdate":
             i = t.index("le ") + 3
             _seg_token_rows("patient", doc_id, line_idx, t,
@@ -246,14 +259,32 @@ def _sub_entity_rows(doc_id: str, line_idx: int, t: str, zone: str,
                             [(i, len(t), "address")], out)
     elif zone == "leftnote":
         if header_label == "org":
-            _seg_token_rows("organization", doc_id, line_idx, t,
-                            [(0, len(t), "orgname")], out)
+            # pole/service hierarchy split (OrganizationParser labels);
+            # a combined line splits at the SERVICE keyword, the dash
+            # separator (mixed shape) stays O
+            i = t.find("SERVICE")
+            if i > 0:
+                _seg_token_rows("organization", doc_id, line_idx, t,
+                                [(0, len(t[:i].rstrip(" -")), "pole"),
+                                 (i, len(t), "service")], out)
+            else:
+                _seg_token_rows("organization", doc_id, line_idx, t,
+                                [(0, len(t),
+                                  "service" if i == 0 else "pole")], out)
         elif header_label == "address":
-            if RE_POSTCODE.fullmatch(t):
+            from .subentity import RE_ADDR_FULL
+            m = RE_ADDR_FULL.fullmatch(t)
+            if m:
+                _seg_token_rows("address", doc_id, line_idx, t,
+                                [(m.start(1), m.end(1), "streetnumber"),
+                                 (m.start(2), m.end(2), "streetname"),
+                                 (m.start(3), m.end(3), "postcode"),
+                                 (m.start(4), m.end(4), "city")], out)
+            elif RE_POSTCODE.fullmatch(t):
                 sp = t.index(" ")
                 _seg_token_rows("address", doc_id, line_idx, t,
                                 [(0, sp, "postcode"),
-                                 (sp + 1, len(t), "settlement")], out)
+                                 (sp + 1, len(t), "city")], out)
             elif RE_STREET.fullmatch(t):
                 comma = t.index(",")
                 _seg_token_rows("address", doc_id, line_idx, t,

@@ -27,11 +27,17 @@ def test_artifact_schema():
 def test_fitted_segments_equal_regex_twins_held_out():
     checked = 0
     for model in se.SUB_LABELS:
+        pae = model in ("patient", "address", "organization")
         for text, _feats, _gold in ts.examples(model, 300, 460):
             exp = {}
-            for s0, s1, f in ts._segments_for(model, text):
+            segs = (ts._pae_segments(model, text) if pae
+                    else ts._segments_for(model, text))
+            for s0, s1, f in segs:
                 if f not in exp:
-                    exp[f] = text[s0:s1]
+                    seg = text[s0:s1]
+                    if seg.endswith(","):
+                        seg = seg[:-1]
+                    exp[f] = seg
             assert se.tag_segments(model, text) == exp, (model, text)
             checked += 1
     assert checked > 800
@@ -67,3 +73,72 @@ def test_retraining_converges_smoke():
                 scores = [sum(W[j][k] for k in f)
                           for j in range(len(se.SUB_LABELS[model]))]
                 assert scores.index(max(scores)) == g
+
+
+def test_patient_mixed_line_decodes_token_level():
+    """The load-bearing case for token granularity: one line mixing
+    name + birthdate + address (reference PatientParser.java:58-222).
+    A line-granularity field model cannot produce these splits."""
+    t = ("Madame Anne Marie DUPONT, né(e) le 12/03/1985, "
+         "demeurant : 5, Rue des Lilas DIJON")
+    for ur in (False, True):
+        seg = se.parse_patient_line(t, use_rules=ur)
+        assert seg == {"persname": "Madame Anne Marie DUPONT",
+                       "birthdate": "12/03/1985",
+                       "address": "5, Rue des Lilas DIJON"}, ur
+    # pure-name shape: everything is the persname, nothing else fires
+    for ur in (False, True):
+        seg = se.parse_patient_line("Monsieur Jean Luc MARTIN", use_rules=ur)
+        assert seg["persname"] == "Monsieur Jean Luc MARTIN"
+        assert seg["birthdate"] == "" and seg["address"] == ""
+
+
+def test_org_mixed_splits_at_last_dash():
+    """'Pôle Femmes - Mères - Enfants - SERVICE DE X' must split at the
+    LAST dash (inner dashes belong to the pole name) — sequence context."""
+    t = "Pôle Femmes - Mères - Enfants - SERVICE DE GYNECOLOGIE"
+    for ur in (False, True):
+        assert se.parse_org_fields(t, use_rules=ur) == {
+            "pole": "Pôle Femmes - Mères - Enfants",
+            "service": "SERVICE DE GYNECOLOGIE"}, ur
+    # space-joined form (no separator dash at all)
+    t2 = "Pôle Urgences SERVICE DE CARDIOLOGIE"
+    for ur in (False, True):
+        assert se.parse_org_fields(t2, use_rules=ur) == {
+            "pole": "Pôle Urgences", "service": "SERVICE DE CARDIOLOGIE"}
+
+
+def test_address_combined_line_recovers_all_fields():
+    t = "17, Avenue de la République, 22000 LE KREMLIN BICETRE Cedex"
+    for ur in (False, True):
+        assert se.parse_address_fields(t, use_rules=ur) == {
+            "streetnumber": "17", "streetname": "Avenue de la République",
+            "postcode": "22000", "city": "LE KREMLIN BICETRE Cedex"}, ur
+    # street-only line: no hallucinated city
+    for ur in (False, True):
+        got = se.parse_address_fields("8, Boulevard Voltaire", use_rules=ur)
+        assert got == {"streetnumber": "8", "streetname": "Boulevard Voltaire"}
+
+
+def test_kernel_patient_struct_from_mixed_docs():
+    """End-to-end: docs whose patient line is MIXED must still yield the
+    full patient struct (persname/birthdate/address) through the kernel."""
+    from grobid_medical_report_spark.operators.assemble import extract_doc
+
+    n_mixed = 0
+    for i in range(300, 420):
+        d = generate_doc(i)
+        mixed = any("demeurant" in (s["text"] or "")
+                    and (s["text"] or "").startswith(("Madame", "Monsieur"))
+                    for s in d["spans"])
+        if not mixed:
+            continue
+        n_mixed += 1
+        r = extract_doc(d["doc_id"], d["spans"])
+        assert r["status"] == "ok"
+        want = d["patients"][0]
+        got = r["patients"][0]
+        for k in ("id", "persname", "birthdate", "age", "address"):
+            assert got[k] == want[k], (i, k, got[k], want[k])
+        assert r["leftnote"]["settlement"] == d["leftnote"]["settlement"]
+    assert n_mixed > 20

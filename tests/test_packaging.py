@@ -26,7 +26,7 @@ assert _ner_weights().shape[0] > 0
 assert len(_body_weights()) > 0
 assert len(_header_weights()) > 0
 assert len(_leftnote_weights()) > 0
-assert len(_weights()) == 3
+assert len(_weights()) == 6
 # and a real kernel run from the zip
 from grobid_medical_report_spark.corpus import generate_doc
 from grobid_medical_report_spark.operators.assemble import extract_doc

@@ -80,7 +80,12 @@ def test_header_labels_consistent_with_parser():
             elif lab == "medic":
                 assert any(m["persname"] in t for m in parsed["medics"])
             elif lab == "patient":
-                assert any(t == p for p in parsed["header"]["patients"])
+                # a mixed line carries name+birthdate+address; the parsed
+                # patient entry is the extracted persname segment
+                from grobid_medical_report_spark.operators.subentity import \
+                    parse_patient_line
+                want = parse_patient_line(t)["persname"] or t
+                assert any(want == p for p in parsed["header"]["patients"])
             checked += 1
     assert checked > 50
 
@@ -168,10 +173,16 @@ def test_sub_entity_models_emitted_and_consistent(spark):
         labs = [t["label"] for t in toks]
         assert labs.count("B-placename") == 1 and labs.count("B-date") == 1
 
-    # address: streetnumber/streetname or postcode/settlement pairings
+    # address: streetnumber/streetname/postcode/city labels only
     rows = td.filter("model = 'address'").collect()
     assert rows
     for r in rows:
         assert r["label"] == "O" or r["label"].split("-", 1)[1] in (
-            "streetnumber", "streetname", "postcode", "settlement")
+            "streetnumber", "streetname", "postcode", "city")
+    # organization: pole/service hierarchy labels
+    rows = td.filter("model = 'organization'").collect()
+    assert rows
+    for r in rows:
+        assert r["label"] == "O" or r["label"].split("-", 1)[1] in (
+            "pole", "service")
     td.unpersist()

@@ -51,6 +51,10 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
     sents = {"doc_id": [], "span_order": [], "sent_idx": [], "start_char": [],
              "end_char": []}
     marks = {"doc_id": [], "span_order": [], "marker_kind": [], "target": []}
+    pats = {"doc_id": [], "patient_idx": [], "id": [], "persname": [],
+            "birthdate": [], "age": [], "address": []}
+    orgf = {"doc_id": [], "field": [], "value": []}
+    addrf = {"doc_id": [], "field": [], "value": []}
 
     for d in docs:
         did = d["doc_id"]
@@ -90,6 +94,21 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
             marks["span_order"].append(m["span_order"])
             marks["marker_kind"].append(m["marker_kind"])
             marks["target"].append(m["target"])
+        # sub-entity decomposition truth (patient / organization / address
+        # token taggers — x_extract_patients / _org_fields / _address_fields)
+        for p in d["patients"]:
+            pats["doc_id"].append(did)
+            pats["patient_idx"].append(p["idx"])
+            for k in ("id", "persname", "birthdate", "age", "address"):
+                pats[k].append(p[k])
+        for r in d["org_fields"]:
+            orgf["doc_id"].append(did)
+            orgf["field"].append(r["field"])
+            orgf["value"].append(r["value"])
+        for r in d["address_fields"]:
+            addrf["doc_id"].append(did)
+            addrf["field"].append(r["field"])
+            addrf["value"].append(r["value"])
 
     # expected TEI strings: the S5 sink's golden side, rendered from the
     # GENERATOR's expected extraction (not the kernel's), so the oracle
@@ -130,6 +149,9 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
         "expected_sentences": tbl(sents, {"span_order", "sent_idx",
                                           "start_char", "end_char"}),
         "expected_markers": tbl(marks, {"span_order"}),
+        "expected_patients": tbl(pats, {"patient_idx"}),
+        "expected_org_fields": tbl(orgf, set()),
+        "expected_address_fields": tbl(addrf, set()),
     }
 
 

@@ -1,11 +1,15 @@
-"""Fit the sub-entity token taggers (dateline / medic / name-person).
+"""Fit ALL SIX sub-entity token taggers (dateline / medic / name-person /
+patient / address / organization).
 
 Gold token labels come from the same segment specs the rule twins use —
 the reference's createTraining pre-annotation semantics (regex groups for
-dateline/medic, header.parse_person_name's split for names) — over the
-golden corpus front-matter lines of docs 0..N_TRAIN plus the reference
-header fixture's shapes. Multiclass perceptron per model to zero token
-errors; committed as models/subentity_models.json.
+dateline/medic/patient-mixed/address, header.parse_person_name's split for
+names, the SERVICE-anchored org split) — over the golden corpus
+front-matter lines of docs 0..N_TRAIN plus the reference header fixture's
+shapes. The patient/address/organization sets include the MIXED-field line
+shapes (one line carrying name+birthdate+address; combined org / address
+letterhead lines) that motivate token granularity. Multiclass perceptron
+per model to zero token errors; committed as models/subentity_models.json.
 
 Run from the repo root:  python tools/train_subentity.py
 """
@@ -84,7 +88,89 @@ def _segments_for(model: str, text: str) -> list[tuple[int, int, str]]:
     return segs
 
 
+def _pae_segments(model: str, t: str) -> list[tuple[int, int, str]] | None:
+    """Gold segments for the patient / address / organization models from
+    the RULE-twin regex groups (the createTraining pre-annotation)."""
+    if model == "patient":
+        m = se.RE_PATIENT_MIXED.fullmatch(t)
+        if m:
+            return [(m.start(1), m.end(1), "persname"),
+                    (m.start(2), m.end(2), "birthdate"),
+                    (m.start(3), m.end(3), "address")]
+        if t.startswith("IPP"):
+            i = t.index(":") + 1
+            while i < len(t) and t[i] == " ":
+                i += 1
+            return [(i, len(t), "id")]
+        if t.startswith("Né(e) le "):
+            return [(len("Né(e) le "), len(t), "birthdate")]
+        if t.startswith("Demeurant"):
+            i = t.index(":") + 1
+            while i < len(t) and t[i] == " ":
+                i += 1
+            return [(i, len(t), "address")]
+        if t.endswith(" ans"):
+            return [(0, len(t), "age")]
+        return [(0, len(t), "persname")]
+    if model == "address":
+        for rx, fields in ((se.RE_ADDR_FULL, ("streetnumber", "streetname",
+                                              "postcode", "city")),
+                           (se.RE_ADDR_PC, ("postcode", "city")),
+                           (se.RE_ADDR_STREET, ("streetnumber",
+                                                "streetname"))):
+            m = rx.fullmatch(t)
+            if m:
+                return [(m.start(g + 1), m.end(g + 1), f)
+                        for g, f in enumerate(fields)]
+        return None
+    # organization: split at the SERVICE keyword; the dash between pole
+    # and service (mixed shape) stays O
+    i = t.find("SERVICE")
+    if i > 0:
+        pole_end = len(t[:i].rstrip(" -"))
+        return [(0, pole_end, "pole"), (i, len(t), "service")]
+    if i == 0:
+        return [(0, len(t), "service")]
+    return [(0, len(t), "pole")] if t else None
+
+
+def pae_examples(model: str, lo: int, hi: int):
+    """(text, segments) pairs for patient / address / organization: the
+    per-line shapes the kernel routes to each tagger PLUS the joined
+    strings the decomposition queries run on."""
+    lines: list[str] = []
+    for i in range(lo, hi):
+        d = generate_doc(i)
+        if model == "patient":
+            for j, lab in enumerate(d["line_labels"]):
+                if ZONE_OF[lab] != "header":
+                    continue
+                if d["line_fields"][j] in ("patient", "idno", "birthdate",
+                                           "age", "patient_address"):
+                    lines.append(normalize_space(d["spans"][j]["text"]))
+        elif model == "address":
+            for j, lab in enumerate(d["line_labels"]):
+                if ZONE_OF[lab] == "leftnote" \
+                        and d["line_fields"][j].startswith("address"):
+                    lines.append(normalize_space(d["spans"][j]["text"]))
+            lines.append(d["leftnote"]["address"])   # kernel-joined form
+        else:
+            lines.append(d["leftnote"]["org"])       # joined / mixed form
+    for text in lines:
+        segs = _pae_segments(model, text)
+        if segs is None:
+            continue
+        yield text, segs
+
+
 def examples(model: str, lo: int, hi: int):
+    if model in ("patient", "address", "organization"):
+        for text, segs in pae_examples(model, lo, hi):
+            toks = se.tokens_of(text)
+            gold = _gold_tags(model, text, segs)
+            yield text, se.token_features(toks), \
+                [se.SUB_LABELS[model].index(g) for g in gold]
+        return
     lines: list[str] = list(FIXTURE_LINES[model])
     for i in range(lo, hi):
         d = generate_doc(i)
@@ -103,7 +189,8 @@ def examples(model: str, lo: int, hi: int):
                     if m:
                         lines.append(m.group(1))
                 elif fld == "patient":
-                    lines.append(t)
+                    m = se.RE_PATIENT_MIXED.fullmatch(t)
+                    lines.append(m.group(1) if m else t)
     for text in lines:
         toks = se.tokens_of(text)
         gold = _gold_tags(model, text, _segments_for(model, text))
