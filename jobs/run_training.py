@@ -32,16 +32,40 @@ sys.path.insert(0, os.path.join(
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("train", "evaluate"), required=True)
+    ap.add_argument("--mode", choices=("train", "evaluate", "split", "nfold"),
+                    required=True)
     ap.add_argument("--n-docs", type=int, default=300)
     ap.add_argument("--output", help="training-data parquet dir (train mode)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                     help="scale-factor data dir for evaluate mode "
                          "(sizes the eval corpus like --input in "
                          "run_extraction.py)")
+    ap.add_argument("--split", type=float, default=0.8,
+                    help="train fraction for --mode split (the reference's "
+                         "build.gradle default)")
+    ap.add_argument("--folds", type=int, default=5,
+                    help="fold count for --mode nfold")
+    ap.add_argument("--models", default=None,
+                    help="comma-separated model subset for split/nfold "
+                         "(default: all 11)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args(argv)
+
+    if args.mode in ("split", "nfold"):
+        # held-out evaluation (MedicalReportTrainerRunner modes split /
+        # n-fold): driver-side refit on doc-disjoint partitions — no Spark
+        # session needed, the training sets are bounded by --n-docs
+        import evaluate_models as ev
+        models = (args.models.split(",") if args.models
+                  else list(ev.FAMILIES))
+        for model in models:
+            if args.mode == "split":
+                r = ev.eval_split(model, args.n_docs, args.split)
+            else:
+                r = ev.eval_nfold(model, args.n_docs, args.folds)
+            print(json.dumps(r, ensure_ascii=False))
+        return 0
 
     from grobid_medical_report_spark.session import get_spark
     spark = get_spark("medical-report-training",

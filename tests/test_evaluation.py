@@ -66,3 +66,31 @@ def test_eval_body_and_header_fields_perfect(spark):
     for q in ("x_eval_body", "x_eval_header_fields"):
         rows = entry.queries()[q](spark, "/root/testdata/sf0.001").collect()
         assert rows and all(r["f1"] == 1.0 for r in rows), q
+
+
+def test_split_and_nfold_harness():
+    """The reference trainer runner's split / n-fold modes
+    (MedicalReportTrainerRunner.java:26-28): refit on a doc-disjoint train
+    partition, score held-out docs, report per-label P/R/F1."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import evaluate_models as ev
+
+    r = ev.eval_split("header-medical-report", n_docs=60,
+                      train_fraction=0.75)
+    assert r["train_docs"] == 45 and r["eval_docs"] == 15
+    assert 0.0 <= r["micro_accuracy"] <= 1.0
+    assert r["n_decisions"] > 100
+    assert set(r["per_label"]) <= set(
+        ("docnum", "dateline", "medic", "idno", "patient", "birthdate",
+         "age", "patient_address", "doctype", "note"))
+    # this corpus is perfectly regular -> held-out must stay perfect; a
+    # drop means the features no longer separate the grammar
+    assert r["micro_accuracy"] == 1.0
+
+    r = ev.eval_nfold("dateline", n_docs=40, folds=4)
+    assert len(r["per_fold"]) == 4
+    assert sum(f["eval_docs"] for f in r["per_fold"]) == 40
+    assert r["micro_accuracy"] == 1.0

@@ -1,0 +1,238 @@
+"""Held-out evaluation: split-train-evaluate and n-fold for EVERY fitted
+model.
+
+The reference trainer runner supports train / evaluate / split / n-fold
+(MedicalReportTrainerRunner.java:26-28; gradle ``train_*_split`` tasks,
+build.gradle default split 0.8). The committed artifacts are trained to
+zero TRAINING errors — this harness supplies the missing held-out number:
+refit each model on a doc-disjoint train partition, decode the held-out
+partition, and report per-label P/R/F1 (plus micro/macro aggregates). The
+n-fold mode rotates contiguous doc-index folds (docs are iid by seeded
+construction, so block folds are unbiased).
+
+Reference-fixture examples stay in the TRAIN side only (they are the
+annotation seed, not a held-out sample).
+
+Usage (also wired into jobs/run_training.py --mode split|nfold):
+    python tools/evaluate_models.py split  [--n-docs 500] [--split 0.8]
+    python tools/evaluate_models.py nfold  [--n-docs 500] [--folds 5]
+    ... [--models medical-report-segmenter,fr-medical-ner,...]
+Prints one JSON line per (model, mode) with the held-out metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import sys
+from collections import Counter
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import train_body as tb  # noqa: E402
+import train_fields as tf  # noqa: E402
+import train_ner as tn  # noqa: E402
+import train_segmenter as tseg  # noqa: E402
+import train_subentity as tsub  # noqa: E402
+
+from grobid_medical_report_spark.operators import body  # noqa: E402
+from grobid_medical_report_spark.operators import header  # noqa: E402
+from grobid_medical_report_spark.operators import leftnote  # noqa: E402
+from grobid_medical_report_spark.operators import ner  # noqa: E402
+from grobid_medical_report_spark.operators import segmenter as seg  # noqa: E402
+from grobid_medical_report_spark.operators import subentity as se  # noqa: E402
+
+
+def prf(pairs: list[tuple[str, str]]) -> dict:
+    """Per-label precision/recall/F1 + micro/macro from (gold, pred)."""
+    tp: Counter = Counter()
+    fp: Counter = Counter()
+    fn: Counter = Counter()
+    for g, p in pairs:
+        if g == p:
+            tp[g] += 1
+        else:
+            fp[p] += 1
+            fn[g] += 1
+    per = {}
+    f1s = []
+    for lab in sorted(set(tp) | set(fp) | set(fn)):
+        prec = tp[lab] / (tp[lab] + fp[lab]) if tp[lab] + fp[lab] else 0.0
+        rec = tp[lab] / (tp[lab] + fn[lab]) if tp[lab] + fn[lab] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        per[lab] = {"support": tp[lab] + fn[lab],
+                    "precision": round(prec, 4), "recall": round(rec, 4),
+                    "f1": round(f1, 4)}
+        f1s.append(f1)
+    total = sum(tp.values()) + sum(fn.values())
+    micro = sum(tp.values()) / total if total else 0.0
+    return {"per_label": per,
+            "micro_accuracy": round(micro, 4),
+            "macro_f1": round(sum(f1s) / len(f1s), 4) if f1s else 0.0,
+            "n_decisions": total}
+
+
+# ---- per-family adapters: examples(lo,hi) / fit / (gold,pred) pairs ------
+
+def _pairs_argmax(data, W, labels):
+    out = []
+    for feats, gold in data:
+        best, arg = None, 0
+        for j in range(len(labels)):
+            s = sum(W[j][f] for f in feats)
+            if best is None or s > best:
+                best, arg = s, j
+        out.append((labels[gold], labels[arg]))
+    return out
+
+
+def _seg_family():
+    def ex(lo, hi):
+        out = []
+        for i in range(lo, hi):
+            for texts, is_media, fc, lay, gold in tseg._doc_views(i):
+                X = seg.line_features(texts, is_media, fc, lay)
+                gate = seg.annex_marker_mask(texts, is_media)
+                out.append((X, gate, gold))
+        return out
+
+    def pairs(data, W):
+        out = []
+        for X, gate, gold in data:
+            pred = tseg.decode(X, gate, W)
+            for g, p in zip(gold, pred):
+                out.append((seg._OUT.get(seg.STATES[g], seg.STATES[g]),
+                            seg._OUT.get(seg.STATES[p], seg.STATES[p])))
+        return out
+
+    return {"examples": ex, "fit": lambda d: tseg.train(d)[0],
+            "pairs": pairs}
+
+
+def _ner_family():
+    def ex(lo, hi):
+        # fixtures ride with the TRAIN side only: lo==0 marks train ranges
+        return tn.build_training_set(lo, hi, fixtures=(lo == 0))
+
+    def pairs(data, W):
+        out = []
+        for X, gold in data:
+            em = X @ W.T
+            pred = np.array(ner._bio_decode(em))
+            for g, p in zip(gold, pred):
+                out.append((ner.NER_STATES[g], ner.NER_STATES[p]))
+        return out
+
+    return {"examples": ex, "fit": lambda d: tn.train(d)[0], "pairs": pairs}
+
+
+def _body_family():
+    return {"examples": lambda lo, hi: list(tb.examples(lo, hi)),
+            "fit": lambda d: tb.train(d)[0],
+            "pairs": lambda d, W: _pairs_argmax(d, W, body.BODY_LABELS)}
+
+
+def _header_family():
+    return {"examples": lambda lo, hi: list(tf.header_examples(lo, hi)),
+            "fit": lambda d: tf.train(d, len(header.HEADER_LABELS),
+                                      len(header.HEADER_FEATURES))[0],
+            "pairs": lambda d, W: _pairs_argmax(d, W, header.HEADER_LABELS)}
+
+
+def _leftnote_family():
+    return {"examples": lambda lo, hi: list(tf.leftnote_examples(lo, hi)),
+            "fit": lambda d: tf.train(d, len(leftnote.LEFTNOTE_LABELS),
+                                      len(leftnote.LEFTNOTE_FEATURES))[0],
+            "pairs": lambda d, W: _pairs_argmax(d, W,
+                                                leftnote.LEFTNOTE_LABELS)}
+
+
+def _sub_family(model: str):
+    labels = se.SUB_LABELS[model]
+
+    def pairs(data, W):
+        out = []
+        for _text, feats, gold in data:
+            for f, g in zip(feats, gold):
+                best, arg = None, 0
+                for j in range(len(labels)):
+                    s = sum(W[j][k] for k in f)
+                    if best is None or s > best:
+                        best, arg = s, j
+                out.append((labels[g], labels[arg]))
+        return out
+
+    return {"examples": lambda lo, hi: list(tsub.examples(model, lo, hi)),
+            "fit": lambda d: tsub.train(d, len(labels))[0], "pairs": pairs}
+
+
+FAMILIES = {
+    "medical-report-segmenter": _seg_family,
+    "fr-medical-ner": _ner_family,
+    "full-medical-text": _body_family,
+    "header-medical-report": _header_family,
+    "left-note-medical-report": _leftnote_family,
+    **{m: (lambda m=m: _sub_family(m)) for m in se.SUB_LABELS},
+}
+
+
+def eval_split(model: str, n_docs: int = 500,
+               train_fraction: float = 0.8) -> dict:
+    """The reference's split-train-evaluate (default 0.8): fit on the first
+    fraction of docs, score the held-out tail."""
+    fam = FAMILIES[model]()
+    cut = int(n_docs * train_fraction)
+    with contextlib.redirect_stdout(sys.stderr):   # epoch logs off stdout
+        W = fam["fit"](fam["examples"](0, cut))
+    res = prf(fam["pairs"](fam["examples"](cut, n_docs), W))
+    return {"model": model, "mode": "split", "train_docs": cut,
+            "eval_docs": n_docs - cut, "split": train_fraction, **res}
+
+
+def eval_nfold(model: str, n_docs: int = 500, folds: int = 5) -> dict:
+    """n-fold cross-evaluation: contiguous doc-index folds, each held out
+    once; per-fold metrics plus the pooled (all-folds) aggregate."""
+    fam = FAMILIES[model]()
+    all_pairs: list[tuple[str, str]] = []
+    fold_stats = []
+    for f in range(folds):
+        lo = f * n_docs // folds
+        hi = (f + 1) * n_docs // folds
+        train_data = fam["examples"](0, lo) + fam["examples"](hi, n_docs)
+        with contextlib.redirect_stdout(sys.stderr):
+            W = fam["fit"](train_data)
+        p = fam["pairs"](fam["examples"](lo, hi), W)
+        all_pairs.extend(p)
+        r = prf(p)
+        fold_stats.append({"fold": f, "eval_docs": hi - lo,
+                           "micro_accuracy": r["micro_accuracy"],
+                           "macro_f1": r["macro_f1"]})
+    pooled = prf(all_pairs)
+    return {"model": model, "mode": "nfold", "folds": folds,
+            "n_docs": n_docs, "per_fold": fold_stats, **pooled}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=("split", "nfold"))
+    ap.add_argument("--n-docs", type=int, default=500)
+    ap.add_argument("--split", type=float, default=0.8)
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--models", default=",".join(FAMILIES))
+    args = ap.parse_args(argv)
+    for model in args.models.split(","):
+        if args.mode == "split":
+            r = eval_split(model, args.n_docs, args.split)
+        else:
+            r = eval_nfold(model, args.n_docs, args.folds)
+        print(json.dumps(r, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -92,10 +92,13 @@ def gold_path(text: str, toks, ents) -> np.ndarray | None:
     return path
 
 
-def build_training_set():
+def build_training_set(lo: int = 0, hi: int = N_TRAIN,
+                       fixtures: bool = True):
     out = []
     skipped = 0
-    examples = list(corpus_examples(0, N_TRAIN)) + list(fixture_examples())
+    examples = list(corpus_examples(lo, hi))
+    if fixtures:
+        examples += list(fixture_examples())
     for text, ents in examples:
         if ner._shortcut(text) is not None:
             continue                       # handled by structural pre-rules
