@@ -2,10 +2,12 @@
 
 Media assets ride through the engine as ``binary`` columns with typed
 metadata structs (the Spark-native form of the reference's GraphicObject
-assets, MedicalReportSegmenterParser.dealWithImages:151-231). The PPM->PNG
-asset conversion of ``dealWithImages`` is REAL — pure-stdlib codecs in
-functions/media.py, round-trip verified pixel-exact — while JPG/audio
-decode remains an honest stub (those codec libraries are not bundled);
+assets, MedicalReportSegmenterParser.dealWithImages:151-231). BOTH halves
+of ``dealWithImages`` asset conversion are REAL: PPM->PNG (pure-stdlib
+codecs in functions/media.py, round-trip pixel-exact) and JPG->PNG (a
+baseline JPEG decoder in functions/jpeg.py — Huffman + dequant + numpy
+IDCT, 4:4:4/4:2:2/4:2:0, restart markers; tests/test_media_jpeg.py).
+Audio decode remains an honest stub (no codec library bundled);
 everything Spark-side (schema, batching, UDF signature, partition shape,
 per-row failure isolation) is real and tested either way.
 
@@ -198,6 +200,53 @@ def x_media_ppm_to_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "png_bytes int, status string")
 
 
+def x_media_jpg_to_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL asset conversion, JPG half (the reference's dealWithImages
+    JPG -> PNG): deterministic baseline-JPEG payloads are synthesized from
+    each doc's bytes inside the Arrow batch (our own encoder, flat quant),
+    decoded with the pure stdlib+numpy baseline decoder, re-encoded as PNG,
+    and verified by decoding the PNG back (error bounded by DCT rounding).
+    Every 23rd doc gets a corrupted stream — must land in ``status``, not
+    poison the partition (S3 isolation on the media path)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import MediaFormatError, encode_jpeg, jpg_to_png
+    from ..functions.media import decode_png
+
+    m = media_table(spark, sf_dir)
+
+    def conv(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w = 8
+                h = max(1, min(16, len(p) // (w * 3)))
+                rgb = bytes(p[:w * h * 3]).ljust(w * h * 3, b"\x00")
+                jpg = encode_jpeg(w, h, rgb)
+                if did % 23 == 0:
+                    jpg = jpg[:len(jpg) // 2]    # truncated: must not raise
+                try:
+                    png = jpg_to_png(jpg)
+                    rw, rh, rrgb = decode_png(png)
+                    err = int(np.abs(
+                        np.frombuffer(rrgb, np.uint8).astype(int)
+                        - np.frombuffer(rgb, np.uint8).astype(int)).max())
+                    ok = (rw, rh) == (w, h) and err <= 4
+                    rows.append((did, w, h, len(jpg), len(png), err,
+                                 "ok" if ok else "error: round-trip drift"))
+                except MediaFormatError as exc:
+                    rows.append((did, w, h, len(jpg), 0, -1,
+                                 f"error: {exc}"))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "jpg_bytes", "png_bytes",
+                "max_err", "status"])
+
+    return m.mapInPandas(
+        conv, schema="doc_id bigint, width int, height int, jpg_bytes int, "
+                     "png_bytes int, max_err int, status string")
+
+
 ORACLES: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'rgb8' END AS codec,
@@ -219,4 +268,5 @@ ROWS_ONLY_QUERIES = {
     "x_media_resize": x_media_resize,
     "x_media_frame_sample": x_media_frame_sample,
     "x_media_ppm_to_png": x_media_ppm_to_png,
+    "x_media_jpg_to_png": x_media_jpg_to_png,
 }

@@ -61,3 +61,21 @@ def test_codec_filter_prunes_before_python(spark):
     # executedPlan prints top-down: the Python stage appears before (above)
     # the filter, meaning the filter executes first
     assert py_pos < filter_pos
+
+
+def test_jpg_to_png_media_path(spark):
+    """REAL JPG->PNG conversion over the media table: non-corrupted rows
+    convert with error bounded by DCT rounding; the every-23rd corrupted
+    stream lands in status (S3 isolation), never a raised exception."""
+    from grobid_medical_report_spark.operators.multimodal import \
+        x_media_jpg_to_png
+
+    rows = x_media_jpg_to_png(spark, SF).collect()
+    assert rows
+    ok = [r for r in rows if r["status"] == "ok"]
+    bad = [r for r in rows if r["status"].startswith("error")]
+    assert ok and bad
+    for r in ok:
+        assert r["png_bytes"] > 0 and 0 <= r["max_err"] <= 4
+    for r in bad:
+        assert r["doc_id"] % 23 == 0
