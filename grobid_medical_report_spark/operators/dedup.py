@@ -161,6 +161,46 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_a", "doc_b", "jaccard"))
 
 
+def q_doc_dedup_groups(spark: SparkSession, sf_dir: str,
+                       max_iters: int = 20) -> DataFrame:
+    """Near-dup GROUP resolution: connected components over the verified
+    MinHash-LSH pair graph, canonical = min doc_id per component — the step
+    an actual corpus dedup needs after pair generation (pairs alone don't
+    say which docs to drop when A~B and B~C but A!~C).
+
+    Distributed min-label propagation (the GraphX/Pregel CC shape): each
+    round joins the symmetric edge list to the current labels, takes the
+    min neighbor label per vertex, and stops when no label changed. Rounds
+    are bounded by component DIAMETER — near-dup clusters are tiny, so 2-3
+    rounds in practice and ``max_iters`` is a backstop; each round
+    localCheckpoints to cut lineage. The per-round driver-side convergence
+    count is one tiny agg job (the canonical iterate-until-converged
+    pattern, not a per-row collect); a 100-TB run with adversarial chain
+    components would swap in large-star/small-star, which this edge/label
+    layout is already shaped for."""
+    pairs = q_doc_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+                  .toDF("src", "dst").cache())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+                   .withColumn("label", F.col("doc_id")).cache())
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                     .groupBy(F.col("dst").alias("doc_id"))
+                     .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(prop, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("label", F.coalesce("nbr_min", "label"))
+                               .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   "doc_id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canon_id"))
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc from md5 nibbles of distinct tokens — pure
     column expressions (JVM-side, whole-stage codegen)."""
@@ -214,6 +254,21 @@ _SIMHASH_SQL = """
         f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)),
 )
 
+#: connected components via transitive closure (WITH RECURSIVE) over the
+#: same brute-force pair graph — component id = min reachable doc_id
+_GROUPS_SQL = f"""
+    WITH RECURSIVE p AS ({_JACCARD_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    closure AS (SELECT DISTINCT a, a AS b FROM edges
+                UNION SELECT a, b FROM reach)
+    SELECT a AS doc_id, min(b) AS canon_id FROM closure GROUP BY a
+"""
+
 ORACLES: dict[str, str] = {
     "q_doc_dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -221,11 +276,13 @@ ORACLES: dict[str, str] = {
         GROUP BY fp
     """,
     "q_doc_minhash_lsh": _JACCARD_SQL,   # LSH+verify must equal brute force
+    "q_doc_dedup_groups": _GROUPS_SQL,
     "q_doc_simhash": _SIMHASH_SQL,
 }
 
 QUERIES = {
     "q_doc_dedup_exact": q_doc_dedup_exact,
     "q_doc_minhash_lsh": q_doc_minhash_lsh,
+    "q_doc_dedup_groups": q_doc_dedup_groups,
     "q_doc_simhash": q_doc_simhash,
 }

@@ -40,3 +40,28 @@ def test_blocked_gemm_block_count_invariance(spark):
     b4 = _rows(similarity.q_emb_near_dup(spark, SF, n_blocks=4))
     b13 = _rows(similarity.q_emb_near_dup(spark, SF, n_blocks=13))
     assert b4 == b13
+
+
+def test_dedup_groups_are_connected_components(spark):
+    """Group resolution properties: both endpoints of every verified pair
+    share a canon; each canon is the MIN member of its own component; label
+    propagation converged (transitivity holds across chained pairs)."""
+    from collections import defaultdict
+
+    from grobid_medical_report_spark.operators.dedup import (
+        q_doc_dedup_groups, q_doc_minhash_lsh)
+
+    pairs = q_doc_minhash_lsh(spark, SF).collect()
+    canon = {r["doc_id"]: r["canon_id"]
+             for r in q_doc_dedup_groups(spark, SF).collect()}
+    assert pairs and canon
+    for p in pairs:
+        assert canon[p["doc_a"]] == canon[p["doc_b"]], p
+    comp = defaultdict(set)
+    for d, c in canon.items():
+        comp[c].add(d)
+    for c, members in comp.items():
+        assert c == min(members)
+    # every paired doc got a component row, nothing else did
+    in_pairs = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    assert set(canon) == in_pairs
