@@ -178,7 +178,17 @@ def q_doc_dedup_groups(spark: SparkSession, sf_dir: str,
     pattern, not a per-row collect); a 100-TB run with adversarial chain
     components would swap in large-star/small-star, which this edge/label
     layout is already shaped for."""
-    pairs = q_doc_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_groups_from_pairs(
+        q_doc_minhash_lsh(spark, sf_dir), max_iters)
+
+
+def dedup_groups_from_pairs(pairs: DataFrame,
+                            max_iters: int = 20) -> DataFrame:
+    """Connected components of an undirected (doc_a, doc_b) pair table ->
+    (doc_id, canon_id). See :func:`q_doc_dedup_groups` for the algorithm
+    and scale notes; callers (jobs/run_curation.py) can pre-filter the
+    pair table to a stricter threshold before grouping."""
+    pairs = pairs.select("doc_a", "doc_b")
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
                   .toDF("src", "dst").cache())
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()

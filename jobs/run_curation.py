@@ -4,8 +4,10 @@ Chains the curation operators into one shippable job over a documents table
 (doc_id, text, lang, source, n_chars):
 
   1. exact dedup        keep min doc_id per normalized-text fingerprint
-  2. near-dup removal   MinHash-LSH candidates + exact Jaccard verify;
-                        drop the higher doc_id of every pair >= threshold
+  2. near-dup removal   MinHash-LSH candidates + exact Jaccard verify ->
+                        connected components over the pair graph -> keep
+                        ONE canonical doc (min id) per component, so
+                        transitive chains (A~B~C) collapse to one keeper
   3. quality gate       stopword ratio + length bounds
   4. outputs            curated corpus parquet + a stats JSON line
 
@@ -35,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from grobid_medical_report_spark.operators.dedup import (
-        q_doc_dedup_exact, q_doc_minhash_lsh)
+        dedup_groups_from_pairs, q_doc_dedup_exact, q_doc_minhash_lsh)
     from grobid_medical_report_spark.operators.textstats import q_doc_quality
     from grobid_medical_report_spark.session import get_spark
 
@@ -48,10 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     survivors = q_doc_dedup_exact(spark, args.input).select("doc_id")
     n_exact = survivors.count()
 
-    # 2. near-dup pairs -> drop the higher id of each pair
+    # 2. near-dup components -> drop every non-canonical member (the
+    # standard corpus-dedup policy: one keeper per connected component)
     pairs = q_doc_minhash_lsh(spark, args.input).filter(
         F.col("jaccard") >= args.jaccard)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    groups = dedup_groups_from_pairs(pairs)
+    losers = (groups.filter(F.col("doc_id") != F.col("canon_id"))
+                    .select("doc_id"))
     survivors = survivors.join(losers, "doc_id", "left_anti")
     n_near = survivors.count()
 
