@@ -38,6 +38,12 @@ def test_golden_oracles_registered():
     queries = entry.queries()
     for name in ("x_extract_spans", "x_extract_layout_spans",
                  "x_extract_header", "x_extract_entities",
-                 "x_extract_zones", "x_extract_sentences", "x_extract_markers"):
+                 "x_extract_zones", "x_extract_sentences", "x_extract_markers",
+                 "x_extract_tei", "x_extract_patients",
+                 "x_extract_org_fields", "x_extract_address_fields"):
         assert name in oracles and name in queries
         assert "read_parquet" in oracles[name]
+    # the golden-backed extraction oracles must LEAD the queries() dict so
+    # a prefix-sampled correctness gate always includes them
+    lead = list(queries)[:11]
+    assert all(n.startswith("x_extract_") for n in lead), lead

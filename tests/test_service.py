@@ -121,3 +121,23 @@ def test_batch_spark_path(spark):
         assert got == exp
     finally:
         srv.shutdown()
+
+
+def test_out_of_distribution_lines_degrade_not_500(server):
+    """ADVICE r2: a fitted mispredict on a weird line must degrade to the
+    'note' action, not raise through the kernel into an HTTP 500. These
+    lines are shaped to match field patterns loosely while missing the
+    separators the actions split on."""
+    weird = ["N degree only, no separator",
+             "IPP without any colon 12345",
+             "Né(e) sans la particule attendue",
+             "Demeurant sans deux-points 5 rue X",
+             "Tél sans deux-points 01 02 03",
+             "DIAGNOSTIC :",
+             "1/1"]
+    spans = [{"kind": "text", "text": t, "media_ref": "", "offset": i}
+             for i, t in enumerate(weird)]
+    status, tei = _post(f"{server}/processFullMedicalText",
+                        {"doc_id": "weird", "spans": spans})
+    assert status == 200
+    assert tei.startswith("<?xml")
