@@ -141,3 +141,20 @@ def test_out_of_distribution_lines_degrade_not_500(server):
                         {"doc_id": "weird", "spans": spans})
     assert status == 200
     assert tei.startswith("<?xml")
+
+
+def test_process_patient_mixed_string(server):
+    """The reference's processPatient endpoint over a MIXED patient string:
+    the fitted patient token tagger splits name/birthdate/address."""
+    status, body = _post(
+        f"{server}/processPatient",
+        {"patient": "Madame Anne Marie DUPONT, né(e) le 12/03/1985, "
+                    "demeurant : 5, Rue des Lilas DIJON"})
+    out = json.loads(body)
+    assert status == 200
+    p = out["patients"][0]
+    assert p["persname"] == "Madame Anne Marie DUPONT"
+    assert p["birthdate"] == "12/03/1985"
+    assert p["address"] == "5, Rue des Lilas DIJON"
+    pn = out["person_names"][0]
+    assert pn["surname"] == "DUPONT" and pn["title"] == "Madame"
