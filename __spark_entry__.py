@@ -175,8 +175,12 @@ def x_extract_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     font/size/bold/italic/x/y on every span): marker-less headings, bare
     items and title-case doctypes are decided by the layout features
     (tests/test_layout.py proves the text-only kernel fails on them)."""
-    return result_spans(extract(corpus_df(spark, _n_extract(spark, sf_dir),
-                                          layout=True)))
+    key = (id(spark), sf_dir, "layout")
+    if key not in _EXT_CACHE:
+        _EXT_CACHE[key] = result_spans(extract(
+            corpus_df(spark, _n_extract(spark, sf_dir),
+                      layout=True))).persist()
+    return _EXT_CACHE[key]
 
 
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,9 +340,17 @@ def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("z.order").alias("zone_order")))
 
 
-_MODULES = (relational, relational2, relational3, relational4, events,
-            textstats, dedup, curation,
-            similarity, strings, temporal, multimodal)
+#: module order = queries() insertion order = the prefix a sampling
+#: correctness gate sees. Ordered for COVERAGE DIVERSITY: extraction
+#: oracles first (above), then one representative family after another —
+#: relational core, events/windows, text stats, dedup, curation,
+#: similarity, strings/anonymize, temporal joins, multimodal — so a
+#: 50-query prefix touches every operator family; the TPC-H long tail
+#: (relational2-4, green since r1) sits last. Every entry keeps its
+#: oracle either way.
+_MODULES = (relational, events, textstats, dedup, curation,
+            similarity, strings, temporal, multimodal,
+            relational2, relational3, relational4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
