@@ -191,8 +191,24 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+#: allocation guard for untrusted headers: a garbage SOF can claim
+#: 65535x65535 and the plane buffers would be gigabytes
+MAX_PIXELS = 64_000_000
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Baseline JPEG -> (width, height, rgb bytes)."""
+    """Baseline JPEG -> (width, height, rgb bytes). Malformed input of any
+    shape raises MediaFormatError (fuzz-pinned: arbitrary bytes never
+    escape as IndexError/struct.error)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        # KeyError: a scan referencing quant/Huffman tables never defined
+        raise MediaFormatError(
+            f"malformed JPEG ({type(exc).__name__})") from exc
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise MediaFormatError("not a JPEG (no SOI)")
     pos = 2
@@ -241,15 +257,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (huff_ac if tc else huff_dc)[th] = \
                     _build_decode_table(bits, vals)
         elif marker == 0xC0 or marker == 0xC1:      # SOF0/1 baseline
+            if len(body) < 6:
+                raise MediaFormatError("truncated SOF segment")
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), \
                 body[5]
             if prec != 8:
                 raise MediaFormatError("only 8-bit precision supported")
+            if not (0 < w and 0 < h) or w * h > MAX_PIXELS:
+                raise MediaFormatError(f"bad dimensions {w}x{h}")
+            if not 1 <= nc <= 4 or len(body) < 6 + 3 * nc:
+                raise MediaFormatError("bad SOF component table")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
-                              "tq": tq})
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise MediaFormatError(f"sampling {hs}x{vs} unsupported")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -260,12 +284,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:                        # SOS
             if frame is None:
                 raise MediaFormatError("SOS before SOF")
-            ns = body[0]
+            ns = body[0] if body else 0
+            if not 1 <= ns <= 4 or len(body) < 1 + 2 * ns:
+                raise MediaFormatError("bad SOS component table")
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
+                comp = next((x for x in frame["comps"] if x["id"] == cs),
+                            None)
+                if comp is None:
+                    raise MediaFormatError(f"SOS references unknown comp {cs}")
+                td, ta = tdta >> 4, tdta & 15
+                scan.append({**comp, "dc": td, "ac": ta})
             data_start = pos + seglen
             return _decode_scan(payload, data_start, frame, scan, quant,
                                 huff_dc, huff_ac, restart_interval)

@@ -88,3 +88,40 @@ def test_progressive_rejected():
     stub = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(MediaFormatError):
         decode_jpeg(stub)
+
+
+# ---- property fuzz (hypothesis) ------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+    def test_fuzz_roundtrip_any_image(w, h, seed):
+        """Any RGB image round-trips through encode->decode with the flat
+        quant bound; dimensions always survive exactly."""
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        rw, rh, out = decode_jpeg(encode_jpeg(w, h, rgb))
+        assert (rw, rh) == (w, h) and len(out) == w * h * 3
+        got = np.frombuffer(out, np.uint8).astype(int)
+        want = np.frombuffer(rgb, np.uint8).astype(int)
+        # random (noise) images are the DCT worst case: per-coefficient
+        # quantization rounding accumulates across all 64 basis functions
+        assert int(np.abs(got - want).max()) <= 40
+        assert float(np.abs(got - want).mean()) <= 4.0
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400), st.integers(0, 3))
+    def test_fuzz_garbage_never_hangs_or_crashes(data, prefix_kind):
+        """Arbitrary bytes (optionally wearing a JPEG prefix) either decode
+        or raise MediaFormatError — never an uncontrolled exception."""
+        prefix = [b"", b"\xff\xd8", b"\xff\xd8\xff\xdb",
+                  b"\xff\xd8\xff\xc0"][prefix_kind]
+        try:
+            decode_jpeg(prefix + data)
+        except MediaFormatError:
+            pass
+except ImportError:       # hypothesis not installed: skip the fuzz pair
+    pass
