@@ -200,7 +200,26 @@ def tag_segments(model: str, text: str,
                  W: list[list[float]] | None = None) -> dict[str, str]:
     """field -> surface text. Consecutive same-field tokens merge; a field's
     surface is the ORIGINAL char span (commas between its tokens kept,
-    trailing separator comma stripped — the regex twins' group semantics)."""
+    trailing separator comma stripped — the regex twins' group semantics).
+
+    Memoized per worker for the committed weights (the hot path runs this
+    6-9x per doc and letterhead/medic surfaces repeat heavily at scale);
+    CALLERS MUST NOT MUTATE the returned dict."""
+    if W is None:
+        return _tag_segments_cached(model, text)
+    return _tag_segments(model, text, W)
+
+
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=65536)
+def _tag_segments_cached(model: str, text: str) -> dict[str, str]:
+    return _tag_segments(model, text, None)
+
+
+def _tag_segments(model: str, text: str,
+                  W: list[list[float]] | None) -> dict[str, str]:
     toks = tokens_of(text)
     if not toks:
         return {}
