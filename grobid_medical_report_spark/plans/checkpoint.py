@@ -10,6 +10,14 @@ Design (SURVEY.md §2.12 / §7.6):
 * work is keyed by a **stable logical partition id**
   ``part_id = pmod(xxhash64(doc_id), n_parts)`` — independent of physical
   partitioning, so resume is exact under any cluster size;
+* the keyed input is **staged once**, written ``partitionBy(part_id)``:
+  ``part_id`` is a DERIVED column, so a per-chunk filter on it can never
+  push below the upstream scan/generator — without staging, every chunk
+  job re-reads (or re-generates) the ENTIRE source and discards all but
+  its slice, an ``n_chunks×`` read amplification (measured 16× corpus
+  regeneration at synth:1M). Staged, each chunk is a partition-PRUNED
+  scan of exactly its slice; total source cost is one read + one write
+  regardless of chunk count, and a resumed run reuses the stage;
 * the run proceeds in **chunks** of part_ids; each chunk is one Spark write
   job. Spark's commit protocol makes the chunk's parquet write atomic (files
   land only at job commit), so a kill leaves either a fully-committed chunk
@@ -65,8 +73,20 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
         extract_fn = extract
     data_dir = out_dir.rstrip("/") + "/data"
     done = completed_parts(spark, out_dir, run_id)
-    keyed = df.withColumn("part_id",
-                          F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+    # stage the keyed input ONCE (skipped when a prior run already staged
+    # it): the per-chunk part_id predicate then partition-prunes instead of
+    # re-running the whole upstream per chunk (see module docstring)
+    staged_dir = out_dir.rstrip("/") + "/_staged_input"
+    jvm = spark._jvm
+    success = jvm.org.apache.hadoop.fs.Path(staged_dir + "/_SUCCESS")
+    fs = success.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(success):   # _SUCCESS gates: a killed staging re-runs
+        (df.withColumn("part_id",
+                       F.pmod(F.xxhash64("doc_id"),
+                              F.lit(n_parts)).cast("int"))
+           .write.mode("overwrite").partitionBy("part_id")
+           .parquet(staged_dir))
+    keyed = spark.read.parquet(staged_dir)
     todo = sorted(set(range(n_parts)) - done)
     chunks = [todo[i:i + chunk_size] for i in range(0, len(todo), chunk_size)]
     executed = 0
