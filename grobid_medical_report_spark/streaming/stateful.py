@@ -119,3 +119,61 @@ def stream_windowed_counts(spark: SparkSession, input_dir: str, out_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# --------------------------------------------------------------------------
+# streaming exact dedup: first-seen-wins across micro-batches (the
+# streaming twin of q_doc_dedup_exact — a corpus-ingest pipeline drops a
+# re-crawled duplicate no matter how many batches apart the copies arrive)
+# --------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "doc_id string, fp string"
+_DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _first_seen(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+                state: GroupState) -> Iterator["pd.DataFrame"]:
+    """Keyed by content fingerprint: the first arrival (min doc_id within
+    its micro-batch group) is emitted once; every later copy — same batch
+    or any future batch — is dropped. State is one boolean per fingerprint
+    (the presence IS the information), persisted in the state store, so a
+    restarted stream keeps deduplicating against everything already seen."""
+    import pandas as pd
+
+    (fp,) = key
+    if state.hasTimedOut:      # no timeout configured; defensive
+        state.remove()
+        yield pd.DataFrame(columns=["doc_id", "fp"])
+        return
+    doc_ids: list[str] = []
+    for pdf in pdfs:
+        doc_ids += list(pdf["doc_id"])
+    if state.exists or not doc_ids:
+        yield pd.DataFrame(columns=["doc_id", "fp"])
+        return
+    state.update((True,))
+    yield pd.DataFrame([{"doc_id": min(doc_ids), "fp": fp}])
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
+                       checkpoint_dir: str):
+    """Continuous exact dedup of a (doc_id, text) document stream: emits
+    each distinct normalized-text fingerprint exactly once with its first
+    doc_id; duplicates arriving in ANY later micro-batch are dropped via
+    the per-fingerprint state."""
+    src = (spark.readStream
+           .schema("doc_id string, text string")
+           .parquet(input_dir))
+    keyed = src.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    out = (keyed.groupBy("fp")
+           .applyInPandasWithState(
+               _first_seen, outputStructType=DEDUP_OUT_SCHEMA,
+               stateStructType=_DEDUP_STATE_SCHEMA,
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
