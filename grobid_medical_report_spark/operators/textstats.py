@@ -105,7 +105,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "fingerprint", "group_size", "keeper"))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 quality filters —
+    the standard pre-training dedup-adjacent gates): duplicate-word
+    fraction, duplicate-bigram fraction (both pure per-row array math, no
+    shuffle), and top-word fraction (most frequent word's share — one
+    explode + two-level agg, shuffling only (doc_id, word) pairs)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    two = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    base = (d.select("doc_id", toks.alias("w"), two.alias("bg"))
+             .select("doc_id",
+                     F.size("w").alias("n_words"),
+                     (1 - F.size(F.array_distinct("w")) / F.size("w"))
+                     .alias("dwf"),
+                     F.when(F.size("bg") > 0,
+                            1 - F.size(F.array_distinct("bg")) / F.size("bg"))
+                     .otherwise(0.0).alias("dbf"),
+                     F.col("w")))
+    top = (base.select("doc_id", F.explode("w").alias("word"))
+           .groupBy("doc_id", "word").count()
+           .groupBy("doc_id").agg(F.max("count").alias("top_count")))
+    return (base.drop("w").join(top, "doc_id")
+            .select("doc_id", "n_words",
+                    F.round("dwf", 4).alias("dup_word_frac"),
+                    F.round("dbf", 4).alias("dup_bigram_frac"),
+                    F.round(F.col("top_count") / F.col("n_words"), 4)
+                    .alias("top_word_frac")))
+
+
 ORACLES: dict[str, str] = {
+    "q_doc_repetition": """
+        WITH base AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        perdoc AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 round(1 - len(list_distinct(ws)) * 1.0 / len(ws), 4)
+                   AS dup_word_frac,
+                 round(CASE WHEN len(ws) >= 2 THEN
+                   1 - len(list_distinct(list_transform(
+                         range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1]))) * 1.0
+                       / (len(ws) - 1)
+                   ELSE 0.0 END, 4) AS dup_bigram_frac
+          FROM base),
+        top AS (
+          SELECT doc_id, max(c) AS top_count FROM (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+            GROUP BY doc_id, w) GROUP BY doc_id)
+        SELECT p.doc_id, n_words, dup_word_frac, dup_bigram_frac,
+               round(top_count * 1.0 / n_words, 4) AS top_word_frac
+        FROM perdoc p JOIN top USING (doc_id)
+    """,
     "q_doc_bpe_tokens": rf"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
@@ -170,6 +227,7 @@ QUERIES = {
     "q_doc_bpe_tokens": q_doc_bpe_tokens,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
+    "q_doc_repetition": q_doc_repetition,
     "q_doc_langid": q_doc_langid,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
