@@ -95,6 +95,27 @@ def brute_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def minhash_band_rows(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band, h1, h2, sig) — the r=2 banded minhash signature rows
+    shared by the batch LSH join and the STREAMING candidate detector.
+    ``sig`` carries the full K-signature (comma-joined, for the streaming
+    state store) so collided docs can estimate Jaccard from signature
+    agreement without keeping shingle sets in state."""
+    def mh(i: int):
+        return F.array_min(F.transform(
+            "sh", lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.concat_ws(",", *[mh(i).cast("string") for i in range(k)])
+    n_bands = k // 2
+    return docs.select(
+        "doc_id", sig.alias("sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     mh(2 * i).alias("h1"), mh(2 * i + 1).alias("h2"))
+            for i in range(n_bands)])).alias("bh")) \
+        .select("doc_id", "sig", "bh.band", "bh.h1", "bh.h2")
+
+
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same output as :func:`brute_ngram_jaccard`, via MinHash LSH, but the
     whole signature stage is SHUFFLE-FREE: shingles stay a per-doc array

@@ -177,3 +177,93 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+# --------------------------------------------------------------------------
+# streaming NEAR-dup candidate detection: banded-minhash LSH with
+# per-bucket state — the streaming stage of the dedup pipeline (batch
+# verify/grouping consumes the candidate stream downstream)
+# --------------------------------------------------------------------------
+
+NEAR_DUP_OUT_SCHEMA = ("doc_id string, dup_of string, band int, "
+                       "est_jaccard double")
+_ND_STATE_SCHEMA = "doc_ids array<string>, sigs array<string>"
+#: bounded state: near-dup clusters are tiny by the r=2 band construction;
+#: a pathological hot bucket keeps only the first N arrivals as references
+ND_STATE_CAP = 32
+#: emit when the signature-agreement estimate of Jaccard clears this —
+#: E[agreement] = J, K=16 hashes, so 0.75 keeps j>=0.8 pairs with high
+#: probability while droppping chance collisions
+ND_EST_THRESHOLD = 0.75
+
+
+def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+                     state: GroupState) -> Iterator["pd.DataFrame"]:
+    """Keyed by (band, h1, h2): new arrivals are compared against the
+    bucket's stored reference signatures; agreement >= threshold emits a
+    candidate row. State = parallel (doc_ids, comma-joined signatures)."""
+    import pandas as pd
+
+    band = int(key[0])
+    if state.hasTimedOut:      # no timeout configured; defensive
+        state.remove()
+        yield pd.DataFrame(columns=["doc_id", "dup_of", "band",
+                                    "est_jaccard"])
+        return
+    arrivals: list[tuple[str, str]] = []
+    for pdf in pdfs:
+        arrivals += list(zip(pdf["doc_id"], pdf["sig"]))
+    arrivals.sort()
+    if state.exists:
+        doc_ids, sigs = state.get
+        doc_ids, sigs = list(doc_ids), list(sigs)
+    else:
+        doc_ids, sigs = [], []
+    ref = [(d, s.split(",")) for d, s in zip(doc_ids, sigs)]
+    out = []
+    for did, sig in arrivals:
+        parts = sig.split(",")
+        k = len(parts)
+        for rdid, rsig in ref:
+            if rdid == did:
+                continue
+            est = sum(a == b for a, b in zip(parts, rsig)) / k
+            if est >= ND_EST_THRESHOLD:
+                out.append({"doc_id": did, "dup_of": rdid, "band": band,
+                            "est_jaccard": round(est, 4)})
+        if len(ref) < ND_STATE_CAP:
+            ref.append((did, parts))
+            doc_ids.append(did)
+            sigs.append(sig)
+    state.update((doc_ids, sigs))
+    yield pd.DataFrame(out, columns=["doc_id", "dup_of", "band",
+                                     "est_jaccard"])
+
+
+def stream_near_dup_candidates(spark: SparkSession, input_dir: str,
+                               out_dir: str, checkpoint_dir: str):
+    """Continuous near-duplicate candidate detection over a (doc_id, text)
+    stream: banded minhash signatures (pure column expressions — the SAME
+    family as the batch q_doc_minhash_lsh), per-bucket state holding
+    reference signatures, candidates emitted with the signature-agreement
+    Jaccard estimate. A doc colliding in several bands emits one row per
+    band — downstream batch verification (exact array_intersect) and
+    component grouping consume the candidate stream, mirroring the batch
+    pipeline's candidate -> verify split."""
+    from ..operators.dedup import _shingle_arrays, minhash_band_rows
+
+    src = (spark.readStream
+           .schema("doc_id string, text string")
+           .parquet(input_dir))
+    bands = minhash_band_rows(_shingle_arrays(src))
+    out = (bands.groupBy("band", "h1", "h2")
+           .applyInPandasWithState(
+               _near_dup_bucket, outputStructType=NEAR_DUP_OUT_SCHEMA,
+               stateStructType=_ND_STATE_SCHEMA,
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -83,3 +83,49 @@ def test_stream_dedup_exact_across_restarts(spark, tmp_path):
     assert "d4" not in got_ids
     assert "d1" in got_ids and "d2" in got_ids and "d5" in got_ids
     assert len(rows) == len(set(rows))          # one row per fingerprint
+
+
+def test_stream_near_dup_candidates(spark, tmp_path):
+    """Streaming LSH near-dup detection: true near-dup pairs (the batch
+    LSH+verify oracle) are flagged even when the two copies arrive in
+    DIFFERENT micro-batches; flagged pairs are never garbage (verified
+    against exact shingle Jaccard)."""
+    from pyspark.sql import functions as F
+
+    from grobid_medical_report_spark.operators.dedup import q_doc_minhash_lsh
+    from grobid_medical_report_spark.streaming.stateful import \
+        stream_near_dup_candidates
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # split copies across two micro-batches: even doc_ids then odd
+    docs.filter(F.col("doc_id").cast("bigint") % 2 == 0).write.mode("append").parquet(src)
+    stream_near_dup_candidates(spark, src, out, ckpt)
+    docs.filter(F.col("doc_id").cast("bigint") % 2 == 1).write.mode("append").parquet(src)
+    stream_near_dup_candidates(spark, src, out, ckpt)
+
+    flagged = {tuple(sorted((r["doc_id"], r["dup_of"])))
+               for r in spark.read.parquet(out).collect()}
+    truth = {tuple(sorted((str(r["doc_a"]), str(r["doc_b"]))))
+             for r in q_doc_minhash_lsh(spark, sf).collect()}
+    assert truth, "corpus should contain true near-dup pairs"
+    # recall: the r=2 bands + signature-agreement threshold keep most
+    # true j>=0.8 pairs
+    recall = len(flagged & truth) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+    # precision floor: every flagged pair has REAL overlap (exact Jaccard
+    # of word-3-gram shingles >= 0.5 — candidates, not final verdicts)
+    texts = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+
+    def shingles(t):
+        w = t.strip().split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    for a, b in flagged:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        assert j >= 0.5, (a, b, j)
