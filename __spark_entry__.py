@@ -331,6 +331,33 @@ def x_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s.media_ref").alias("media_ref")))
 
 
+def x_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH near-dup candidate detection end-to-end: the
+    documents table staged as two micro-batches (even then odd doc_ids),
+    drained through the per-bucket stateful detector — copies arriving in
+    DIFFERENT batches are flagged via the persisted reference signatures.
+    Rows-only (a streaming state query has no SQL oracle); recall/precision
+    vs the batch LSH truth is pinned in tests/test_stateful_streaming.py."""
+    import tempfile
+
+    from grobid_medical_report_spark.streaming.stateful import \
+        stream_near_dup_candidates
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(500))
+    root = tempfile.mkdtemp(prefix="sg_ndstream_")
+    (docs.filter(F.col("doc_id").cast("bigint") % 2 == 0)
+         .write.mode("append").parquet(f"{root}/in"))
+    stream_near_dup_candidates(spark, f"{root}/in", f"{root}/out",
+                               f"{root}/ckpt")
+    (docs.filter(F.col("doc_id").cast("bigint") % 2 == 1)
+         .write.mode("append").parquet(f"{root}/in"))
+    stream_near_dup_candidates(spark, f"{root}/in", f"{root}/out",
+                               f"{root}/ckpt")
+    return spark.read.parquet(f"{root}/out")
+
+
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _extracted(spark, sf_dir)
     return (ext.select("doc_id", F.explode("zones").alias("z"))
@@ -386,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_eval_body": x_eval_body,
         "x_eval_header_fields": x_eval_header_fields,
         "x_stream_extract": x_stream_extract,
+        "x_stream_near_dup": x_stream_near_dup,
     })
     return out
 

@@ -8,7 +8,9 @@ Chains the curation operators into one shippable job over a documents table
                         connected components over the pair graph -> keep
                         ONE canonical doc (min id) per component, so
                         transitive chains (A~B~C) collapse to one keeper
-  3. quality gate       stopword ratio + length bounds
+  3. quality gate       stopword ratio + length bounds + Gopher-style
+                        repetition gates (dup-word / dup-bigram /
+                        top-word fractions, Rae et al. 2021)
   4. outputs            curated corpus parquet + a stats JSON line
 
     spark-submit --py-files engine.zip jobs/run_curation.py \
@@ -32,13 +34,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--max-stop-ratio", type=float, default=0.5)
+    ap.add_argument("--max-dup-word-frac", type=float, default=0.9)
+    ap.add_argument("--max-dup-bigram-frac", type=float, default=0.75)
+    ap.add_argument("--max-top-word-frac", type=float, default=0.3)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
     from grobid_medical_report_spark.operators.dedup import (
         dedup_groups_from_pairs, q_doc_dedup_exact, q_doc_minhash_lsh)
-    from grobid_medical_report_spark.operators.textstats import q_doc_quality
+    from grobid_medical_report_spark.operators.textstats import (
+        q_doc_quality, q_doc_repetition)
     from grobid_medical_report_spark.session import get_spark
 
     spark = get_spark("run_curation")
@@ -60,12 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     survivors = survivors.join(losers, "doc_id", "left_anti")
     n_near = survivors.count()
 
-    # 3. quality gate
+    # 3. quality gate: basic stats + Gopher repetition filters
     quality = q_doc_quality(spark, args.input)
     good = quality.filter(
         (F.col("stop_ratio") <= args.max_stop_ratio)
         & (F.col("len_ok") == 1)).select("doc_id")
-    survivors = survivors.join(good, "doc_id", "left_semi")
+    rep = q_doc_repetition(spark, args.input)
+    unrepetitive = rep.filter(
+        (F.col("dup_word_frac") <= args.max_dup_word_frac)
+        & (F.col("dup_bigram_frac") <= args.max_dup_bigram_frac)
+        & (F.col("top_word_frac") <= args.max_top_word_frac)
+    ).select("doc_id")
+    survivors = (survivors.join(good, "doc_id", "left_semi")
+                 .join(unrepetitive, "doc_id", "left_semi"))
 
     curated = docs.join(survivors, "doc_id", "left_semi")
     curated.write.mode("overwrite").parquet(args.output)
