@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grobid_medical_report_spark.corpus import corpus_df
-from grobid_medical_report_spark.operators import (curation, dedup, events,
+from grobid_medical_report_spark.operators import (bpe, curation, dedup, events,
                                                    multimodal, relational,
                                                    relational2, relational3,
                                                    relational4, similarity,
@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
     out.update(getattr(strings, "ROWS_ONLY_QUERIES", {}))
     out.update(sketches.ROWS_ONLY_QUERIES)
+    out.update(bpe.ROWS_ONLY_QUERIES)
     out.update({
         "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
         "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
