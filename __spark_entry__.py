@@ -344,8 +344,8 @@ def x_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_near_dup_candidates
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-            .limit(500))
+            .filter(F.col("doc_id") < 500)     # deterministic at every tier
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
     root = tempfile.mkdtemp(prefix="sg_ndstream_")
     (docs.filter(F.col("doc_id").cast("bigint") % 2 == 0)
          .write.mode("append").parquet(f"{root}/in"))
