@@ -229,6 +229,8 @@ def dedup_groups_from_pairs(pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    # labels is localCheckpointed (materialized), safe to return directly
     return labels.select("doc_id", F.col("label").alias("canon_id"))
 
 
