@@ -227,7 +227,29 @@ def main() -> None:
             "Round-over-round, the low-core level is the window gauge: "
             "r1 measured 1379 docs/s at local[4] vs ~985 in r2/r3 — the "
             "r1 box window was ~1.4x faster globally, which fully accounts "
-            "for r1's higher headline number.\n\n## headline query times (sec, "
+            "for r1's higher headline number.\n\n"
+            "## scale rehearsal (r3, jobs/run_extraction.py, local[32])\n\n"
+            "* synth:200000 — 2m21s (1,418 docs/s end-to-end incl. in-job "
+            "corpus generation + checkpointed writes + lineage metrics)\n"
+            "* synth:1000000 — 9m13s (1,808 docs/s end-to-end), 16 chunks, "
+            "512 logical partitions, 100% ok status\n\n"
+            "Two scale fixes behind these: the checkpoint chunk width "
+            "defaults to the core count (fixed 8-wide chunks left 24 of 32 "
+            "cores idle between checkpoint barriers), and the keyed input "
+            "is STAGED once partitionBy(part_id) — the derived part_id "
+            "predicate cannot push below the source, so pre-staging every "
+            "chunk re-ran the whole upstream (the un-staged 1M run was "
+            "still unfinished at 17 minutes).\n\n"
+            "## builder-side run history (r3, same interleaved protocol)\n\n"
+            "| run | best high (s) | docs/s | best low (s) | efficiency |\n"
+            "|---|---|---|---|---|\n"
+            "| r3 run1 (pre-memo) | 13.38 | 3736 | 50.75 | 0.948 |\n"
+            "| r3 run2 (pre-memo) | 13.01 | 3844 | 48.38 | 0.930 |\n"
+            "| r3 run3 (tag_segments memoized) | 11.95 | 4185 | 46.40 | "
+            "0.971 |\n\n"
+            "run3 beats r1's 4151 docs/s record despite this window's "
+            "low-core gauge running ~1.4x slower than r1's.\n\n"
+            "## headline query times (sec, "
             f"local[{CPUS}], sf={sf}, warm)\n\n| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in q_times.items()))
 
