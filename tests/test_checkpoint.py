@@ -58,3 +58,25 @@ def test_checkpoint_lineage_metrics(spark, tmp_path):
     for r in rows:
         kinds |= set(json.loads(r["label_histogram"]))
     assert {"header", "leftnote", "section", "paragraph"} <= kinds
+
+
+def test_staged_input_reused_on_resume(spark, tmp_path):
+    """The keyed input is staged ONCE: a resumed run must reuse the staged
+    parquet (same files, same mtimes), not re-run the upstream — the fix
+    for the n_chunks x source re-read (r3)."""
+    import os
+
+    out = str(tmp_path / "out3")
+    run_with_checkpoint(spark, corpus_df(spark, 16), out, run_id="r3",
+                        n_parts=4, chunk_size=2, max_chunks=1)  # kill at 1/2
+    staged = out + "/_staged_input"
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    before = {f: os.path.getmtime(os.path.join(dp, f))
+              for dp, _dn, fns in os.walk(staged) for f in fns}
+    run_with_checkpoint(spark, corpus_df(spark, 16), out, run_id="r3",
+                        n_parts=4, chunk_size=2)                # resume
+    after = {f: os.path.getmtime(os.path.join(dp, f))
+             for dp, _dn, fns in os.walk(staged) for f in fns}
+    assert before == after                   # stage untouched by resume
+    res = read_results(spark, out)
+    assert res.select("doc_id").distinct().count() == 16
