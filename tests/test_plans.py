@@ -91,3 +91,25 @@ def test_extraction_from_parquet_prunes_unused_flats(spark, tmp_path):
     p = _plan(out)
     assert p.count("MapInPandas") == 1
     assert "Exchange" not in p
+
+
+def test_checkpoint_chunk_scan_is_partition_pruned(spark, tmp_path):
+    """The staged checkpoint input must serve each chunk via PARTITION
+    pruning — the per-chunk part_id predicate reads only its slice, never
+    the whole stage (the r3 fix for n_chunks x source re-reads)."""
+    from pyspark.sql import functions as F
+
+    from grobid_medical_report_spark.corpus import corpus_df
+    from grobid_medical_report_spark.plans.checkpoint import \
+        run_with_checkpoint
+
+    out = str(tmp_path / "out")
+    run_with_checkpoint(spark, corpus_df(spark, 12), out, run_id="p",
+                        n_parts=4, chunk_size=4)
+    staged = spark.read.parquet(out + "/_staged_input")
+    p = _plan(staged.filter(F.col("part_id").isin([0, 1])))
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters", 1)[1][:200]
+    assert "part_id" in seg, seg
+    # and the data predicate section must NOT carry it (it is partition-only)
+    assert "Batched: true" in p        # columnar scan of the pruned slice
