@@ -68,6 +68,11 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
     ``max_chunks`` exists for the kill/restart test (simulated crash after N
     committed chunks). ``extract_fn`` swaps the extraction strategy (e.g.
     plans.chunked.extract_chunked for giant-heavy corpora).
+
+    The staged input under ``out_dir/_staged_input`` is keyed to the OUT
+    DIR: rerunning with the same ``out_dir`` but a different input reuses
+    the existing stage by design (that is what makes resume exact); point a
+    new input at a new ``out_dir``.
     """
     if extract_fn is None:
         extract_fn = extract
