@@ -355,7 +355,19 @@ def x_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("append").parquet(f"{root}/in"))
     stream_near_dup_candidates(spark, f"{root}/in", f"{root}/out",
                                f"{root}/ckpt")
-    return spark.read.parquet(f"{root}/out")
+    # materialize the (small, doc_id<500) result, then remove the per-run
+    # working root so repeated gate runs don't accumulate temp litter
+    # (ADVICE r3); the returned frame no longer references the deleted files
+    import shutil
+
+    schema = "doc_a string, doc_b string, jaccard double"
+    try:
+        rows = [tuple(r) for r in
+                spark.read.parquet(f"{root}/out").collect()]
+    except Exception:          # no micro-batch produced a verified pair
+        rows = []
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def x_extract_zones(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -306,8 +306,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
 def _decode_scan(payload, pos, frame, scan, quant, huff_dc, huff_ac,
                  restart_interval):
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
+    # MCU geometry comes from the FRAME's components: a legal baseline
+    # non-interleaved scan (Ns=1 over a subsampled chroma plane) has
+    # component-scaled dimensions per T.81 — decoding it with scan-derived
+    # hmax/vmax would produce garbled output, so multi-scan streams are
+    # rejected up front instead (ADVICE r3)
+    if len(scan) != len(frame["comps"]):
+        raise MediaFormatError(
+            "non-interleaved (multi-scan) baseline JPEG unsupported")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {}

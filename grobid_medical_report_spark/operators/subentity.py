@@ -193,7 +193,20 @@ def _weights() -> dict[str, list[list[float]]]:
                 f"subentity_models.json[{name}] stale — rerun " \
                 "tools/train_subentity.py"
         _W = {name: m[name]["W"] for name in SUB_LABELS}
+        # the memo below is keyed on (model, text) only: any (re)load of
+        # the weights invalidates it, so an in-process retrain + reload
+        # (tools/train_subentity.py then evaluation) can't serve tags from
+        # the previous model (ADVICE r3)
+        _tag_segments_cached.cache_clear()
     return _W
+
+
+def invalidate_model_cache() -> None:
+    """Force the next tag to reload models/subentity_models.json (call
+    after retraining in-process)."""
+    global _W
+    _W = None
+    _tag_segments_cached.cache_clear()
 
 
 def tag_segments(model: str, text: str,

@@ -72,7 +72,10 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
     The staged input under ``out_dir/_staged_input`` is keyed to the OUT
     DIR: rerunning with the same ``out_dir`` but a different input reuses
     the existing stage by design (that is what makes resume exact); point a
-    new input at a new ``out_dir``.
+    new input at a new ``out_dir``. A manifest written at staging time
+    records ``n_parts`` and the input schema, and a resume whose arguments
+    disagree with it FAILS FAST instead of silently pruning part_ids out
+    of (or into) the staged range.
     """
     if extract_fn is None:
         extract_fn = extract
@@ -85,12 +88,38 @@ def run_with_checkpoint(spark: SparkSession, df: DataFrame, out_dir: str,
     jvm = spark._jvm
     success = jvm.org.apache.hadoop.fs.Path(staged_dir + "/_SUCCESS")
     fs = success.getFileSystem(spark._jsc.hadoopConfiguration())
+    manifest_path = jvm.org.apache.hadoop.fs.Path(
+        out_dir.rstrip("/") + "/staged-manifest.json")
+    manifest = {"n_parts": int(n_parts),
+                "input_schema": df.schema.simpleString()}
     if not fs.exists(success):   # _SUCCESS gates: a killed staging re-runs
         (df.withColumn("part_id",
                        F.pmod(F.xxhash64("doc_id"),
                               F.lit(n_parts)).cast("int"))
            .write.mode("overwrite").partitionBy("part_id")
            .parquet(staged_dir))
+        out_stream = fs.create(manifest_path, True)
+        out_stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        out_stream.close()
+    elif fs.exists(manifest_path):
+        # read through spark.read.text (FS-agnostic; py4j can't mutate a
+        # Python bytearray through Hadoop's readFully)
+        staged = json.loads(spark.read.text(
+            out_dir.rstrip("/") + "/staged-manifest.json",
+            wholetext=True).head()["value"])
+        if staged.get("n_parts") != manifest["n_parts"]:
+            raise ValueError(
+                f"staged input at {staged_dir} was keyed with n_parts="
+                f"{staged.get('n_parts')} but this run asked for "
+                f"{n_parts}; resuming would silently drop or duplicate "
+                f"part_ids — rerun with the staging n_parts or use a new "
+                f"out_dir")
+        if staged.get("input_schema") != manifest["input_schema"]:
+            raise ValueError(
+                f"staged input at {staged_dir} has schema "
+                f"{staged.get('input_schema')} but this run's input has "
+                f"{manifest['input_schema']}; a different input must go "
+                f"to a new out_dir")
     keyed = spark.read.parquet(staged_dir)
     todo = sorted(set(range(n_parts)) - done)
     chunks = [todo[i:i + chunk_size] for i in range(0, len(todo), chunk_size)]

@@ -80,3 +80,22 @@ def test_staged_input_reused_on_resume(spark, tmp_path):
     assert before == after                   # stage untouched by resume
     res = read_results(spark, out)
     assert res.select("doc_id").distinct().count() == 16
+
+
+def test_staged_manifest_blocks_mismatched_resume(spark, tmp_path):
+    """A resume whose n_parts disagrees with the staging run's manifest
+    must FAIL FAST: silently reusing the stage would never process staged
+    part_ids beyond the old range while still reporting success (ADVICE
+    r3). Same out_dir + same n_parts keeps working."""
+    import pytest
+
+    out = str(tmp_path / "out4")
+    run_with_checkpoint(spark, corpus_df(spark, 12), out, run_id="m1",
+                        n_parts=4, chunk_size=2, max_chunks=1)
+    with pytest.raises(ValueError, match="n_parts"):
+        run_with_checkpoint(spark, corpus_df(spark, 12), out, run_id="m1",
+                            n_parts=8, chunk_size=2)
+    # matching arguments still resume fine
+    run_with_checkpoint(spark, corpus_df(spark, 12), out, run_id="m1",
+                        n_parts=4, chunk_size=2)
+    assert read_results(spark, out).select("doc_id").distinct().count() == 12

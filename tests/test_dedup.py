@@ -65,3 +65,42 @@ def test_dedup_groups_are_connected_components(spark):
     # every paired doc got a component row, nothing else did
     in_pairs = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
     assert set(canon) == in_pairs
+
+
+def test_dedup_groups_star_chain_and_equality(spark):
+    """Large-star/small-star CC: (a) on an adversarial 1000-doc PATH graph
+    it converges in logarithmically many rounds (min-label propagation
+    would need 999) and labels the whole chain into one component; (b) on
+    the standard corpus pair graph it returns exactly the same
+    (doc_id, canon_id) table as the propagation path; (c) the propagation
+    entry point FALLS BACK to it instead of returning wrong components
+    when max_iters is exhausted."""
+    from grobid_medical_report_spark.operators.dedup import (
+        dedup_groups_from_pairs, dedup_groups_star, q_doc_minhash_lsh)
+
+    # (a) adversarial chain: d0000-d0001-...-d0999 (diameter 999)
+    chain = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(999)],
+        schema="doc_a string, doc_b string")
+    got = {r["doc_id"]: r["canon_id"]
+           for r in dedup_groups_star(chain, max_rounds=24).collect()}
+    assert len(got) == 1000
+    assert set(got.values()) == {"d0000"}
+
+    # (b) equality with propagation on the real corpus pair graph
+    pairs = q_doc_minhash_lsh(spark, SF).cache()
+    prop = sorted((r["doc_id"], r["canon_id"])
+                  for r in dedup_groups_from_pairs(pairs).collect())
+    star = sorted((r["doc_id"], r["canon_id"])
+                  for r in dedup_groups_star(pairs).collect())
+    assert prop == star
+
+    # (c) exhausting propagation's max_iters on the chain falls back to the
+    # star variant and still returns CORRECT components (no silent wrong
+    # answer — ADVICE r3)
+    short = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)],
+        schema="doc_a string, doc_b string")
+    got2 = {r["doc_id"]: r["canon_id"]
+            for r in dedup_groups_from_pairs(short, max_iters=3).collect()}
+    assert set(got2.values()) == {"c00"} and len(got2) == 31

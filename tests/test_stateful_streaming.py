@@ -85,11 +85,14 @@ def test_stream_dedup_exact_across_restarts(spark, tmp_path):
     assert len(rows) == len(set(rows))          # one row per fingerprint
 
 
-def test_stream_near_dup_candidates(spark, tmp_path):
-    """Streaming LSH near-dup detection: true near-dup pairs (the batch
-    LSH+verify oracle) are flagged even when the two copies arrive in
-    DIFFERENT micro-batches; flagged pairs are never garbage (verified
-    against exact shingle Jaccard)."""
+def test_stream_near_dup_batch_equal(spark, tmp_path):
+    """Streaming LSH near-dup detection is BATCH-EQUAL: with copies split
+    across two micro-batches AND a stream restart in between, the
+    accumulated verified pair set equals the batch q_doc_minhash_lsh pair
+    set over the same docs, value-for-value (pair-set equality, not a
+    recall bound — VERDICT r3 'What's wrong' item 2). Candidates come from
+    bucket state; exact shingle verification runs in foreachBatch against
+    the staged doc store in the same micro-batch."""
     from pyspark.sql import functions as F
 
     from grobid_medical_report_spark.operators.dedup import q_doc_minhash_lsh
@@ -102,30 +105,21 @@ def test_stream_near_dup_candidates(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    # split copies across two micro-batches: even doc_ids then odd
+    # split copies across two micro-batches: even doc_ids then odd; each
+    # stream run is a fresh start against the same checkpoint (restart)
     docs.filter(F.col("doc_id").cast("bigint") % 2 == 0).write.mode("append").parquet(src)
     stream_near_dup_candidates(spark, src, out, ckpt)
     docs.filter(F.col("doc_id").cast("bigint") % 2 == 1).write.mode("append").parquet(src)
     stream_near_dup_candidates(spark, src, out, ckpt)
 
-    flagged = {tuple(sorted((r["doc_id"], r["dup_of"])))
+    # canonicalize pair orientation on both sides: batch doc_ids are
+    # bigint (numeric order), streaming ones are strings (lexicographic)
+    flagged = {tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
                for r in spark.read.parquet(out).collect()}
-    truth = {tuple(sorted((str(r["doc_a"]), str(r["doc_b"]))))
+    truth = {tuple(sorted((str(r["doc_a"]), str(r["doc_b"])))): r["jaccard"]
              for r in q_doc_minhash_lsh(spark, sf).collect()}
     assert truth, "corpus should contain true near-dup pairs"
-    # recall: the r=2 bands + signature-agreement threshold keep most
-    # true j>=0.8 pairs
-    recall = len(flagged & truth) / len(truth)
-    assert recall >= 0.8, (recall, len(truth))
-    # precision floor: every flagged pair has REAL overlap (exact Jaccard
-    # of word-3-gram shingles >= 0.5 — candidates, not final verdicts)
-    texts = {str(r["doc_id"]): r["text"] for r in docs.collect()}
-
-    def shingles(t):
-        w = t.strip().split(" ")
-        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
-
-    for a, b in flagged:
-        sa, sb = shingles(texts[a]), shingles(texts[b])
-        j = len(sa & sb) / len(sa | sb)
-        assert j >= 0.5, (a, b, j)
+    assert set(flagged) == set(truth), (
+        sorted(set(truth) - set(flagged)), sorted(set(flagged) - set(truth)))
+    for pair, j in truth.items():
+        assert flagged[pair] == j, (pair, flagged[pair], j)
