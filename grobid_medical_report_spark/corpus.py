@@ -330,39 +330,156 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
 
     ipp = str(rng.randrange(10**8, 10**9))
     emit("header", f"IPP : {ipp}", field="idno")
+    # explicit sex line (PatientParser <sex>, r4)
+    psex = rng.choice(["F", "M"]) if rng.random() < 0.6 else ""
+    if psex:
+        emit("header", f"Sexe : {psex}", field="sex")
     ptitle = rng.choice(["Madame", "Monsieur"])
     pf, pm, pl = (rng.choice(lex.FIRST_NAMES), rng.choice(lex.FIRST_NAMES),
                   rng.choice(lex.LAST_NAMES))
     ppers = f"{ptitle} {pf} {pm} {pl}"
     birth = _rand_date(rng)
     age = f"{rng.randrange(1, 99)} ans"
-    paddr_val = (f"{rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
-                 f"{rng.choice(lex.CITIES)}")
-    # MIXED patient line (~35% of docs): name + birthdate + address in ONE
-    # line — the shape real documents have and the reason the reference
-    # runs a dedicated token-level CRF over the patient block
+    # MIXED patient line (~35% of docs): name + birthdate (+ birthplace,
+    # death date, phone, email, guardianship note) + address in ONE line —
+    # the shape real documents have and the reason the reference runs a
+    # dedicated token-level CRF over the patient block
     # (PatientParser.java:58-222, FeaturesVectorPatient.java:164-427).
-    # Decoding it requires the fitted patient token tagger
-    # (operators/subentity.py) — a line-granularity field model cannot
-    # split it.
+    # Since r4 the optional parts exercise the FULL PatientParser label
+    # set (writeField :473-514). A line-granularity field model cannot
+    # split any of this.
+    pbplace = pdeath = ptown = pcountry = pphone = pemail = pnote = ""
     if rng.random() < 0.35:
-        emit("header", f"{ppers}, né(e) le {birth}, demeurant : {paddr_val}",
-             field="patient")
+        if rng.random() < 0.30:
+            pbplace = rng.choice(lex.CITIES)
+        if rng.random() < 0.15:
+            pdeath = _rand_date(rng)
+        if rng.random() < 0.70:      # demeurant : full postal address
+            paddr_val = (f"{rng.randrange(1, 999)}, "
+                         f"{rng.choice(lex.STREETS)} ")
+            if rng.random() < 0.40:  # fixture shape: pc + city inline
+                paddr_val += f"{rng.randrange(10, 96) * 1000:05d} "
+            paddr_val += rng.choice(lex.CITIES)
+            dem = f"demeurant : {paddr_val}"
+        else:                        # demeurant à CITY -> <settlement>
+            paddr_val = ""
+            ptown = rng.choice(lex.CITIES)
+            dem = f"demeurant à {ptown}"
+        if rng.random() < 0.25:
+            pcountry = "France"
+        if rng.random() < 0.30:
+            pphone = (f"0{rng.randrange(6, 8)} {rng.randrange(10, 100)} "
+                      f"{rng.randrange(10, 100)} {rng.randrange(10, 100)} "
+                      f"{rng.randrange(10, 100)}")
+        if rng.random() < 0.20:
+            pemail = f"{pf.lower()}.{pl.lower()}@exemple.fr"
+        if rng.random() < 0.12:
+            pnote = "(sous tutelle)"
+        line = f"{ppers}, né(e) le {birth}"
+        if pbplace:
+            line += f" à {pbplace}"
+        if pdeath:
+            line += f", décédé(e) le {pdeath}"
+        line += f", {dem}"
+        if pcountry:
+            line += ", France"
+        if pphone:
+            line += f", Tél : {pphone}"
+        if pemail:
+            line += f", courriel : {pemail}"
+        if pnote:
+            line += f" {pnote}"
+        emit("header", line, field="patient")
         emit("header", age, field="age")
     else:
+        paddr_val = (f"{rng.randrange(1, 999)}, {rng.choice(lex.STREETS)} "
+                     f"{rng.choice(lex.CITIES)}")
         emit("header", ppers, field="patient")
         emit("header", f"Né(e) le {birth}", field="birthdate")
         emit("header", age, field="age")
         emit("header", f"Demeurant : {paddr_val}", field="patient_address")
     header["patients"].append(ppers)
     patients_fix.append({"idx": 0, "id": ipp, "idtype": "IPP", "persname": ppers,
-                         "sex": "", "birthdate": birth, "age": age, "birthplace": "",
-                         "deathdate": "", "address": paddr_val,
-                         "country": "", "town": "", "phone": "", "email": "", "note": ""})
+                         "sex": psex, "birthdate": birth, "age": age,
+                         "birthplace": pbplace, "deathdate": pdeath,
+                         "address": paddr_val,
+                         "country": pcountry, "town": ptown, "phone": pphone,
+                         "email": pemail, "note": pnote})
     person_names.append({"idx": len(person_names), "title": ptitle, "forename": pf,
                          "middlename": pm, "surname": pl, "suffix": ""})
 
     # ---- left-note letterhead -------------------------------------------
+    # Since r4 the letterhead exercises the FULL OrganizationParser /
+    # AddressParser label vocabularies (VERDICT r3 item 1): an institution
+    # stack above pole/service (chu/ghu/hospital/dmu/university/institut/
+    # center/site/unit/department/association, some with inline
+    # settlement / country / street address), building/BP/district/
+    # commune/department address lines, and mixed contact / web / email
+    # lines — all decomposed by the fitted org / address token taggers.
+    city_t = city.title()
+    org_fields: list[dict[str, str]] = []
+    front: list[tuple[str, str]] = []
+    if rng.random() < 0.70:
+        t = f"CHU de {city_t}"
+        front.append((t, "org"))
+        org_fields.append({"field": "chu", "value": t})
+    if rng.random() < 0.12:
+        t = f"GHU {city_t}"
+        front.append((t, "org"))
+        org_fields.append({"field": "ghu", "value": t})
+    if rng.random() < 0.35:
+        hosp = f"Hôpital {rng.choice(lex.HOSPITAL_NAMES)}"
+        if rng.random() < 0.35:      # inline settlement after comma
+            front.append((f"{hosp}, {city_t}", "org"))
+            org_fields.append({"field": "hospital", "value": hosp})
+            org_fields.append({"field": "settlement", "value": city_t})
+        else:
+            front.append((hosp, "org"))
+            org_fields.append({"field": "hospital", "value": hosp})
+    if rng.random() < 0.12:
+        t = f"DMU {rng.choice(lex.DMU_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "dmu", "value": t})
+    if rng.random() < 0.15:
+        univ = f"Université de {city_t}"
+        if rng.random() < 0.30:
+            front.append((f"{univ}, France", "org"))
+            org_fields.append({"field": "university", "value": univ})
+            org_fields.append({"field": "country", "value": "France"})
+        else:
+            front.append((univ, "org"))
+            org_fields.append({"field": "university", "value": univ})
+    if rng.random() < 0.12:
+        t = f"Institut {rng.choice(lex.INSTITUTE_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "institution", "value": t})
+    if rng.random() < 0.12:
+        t = f"Centre de Référence {rng.choice(lex.CENTER_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "center", "value": t})
+    if rng.random() < 0.12:
+        site = f"Site {rng.choice(lex.SITE_NAMES)}"
+        if rng.random() < 0.30:      # inline street address
+            saddr = f"{rng.randrange(1, 99)}, {rng.choice(lex.STREETS)}"
+            front.append((f"{site}, {saddr}", "org"))
+            org_fields.append({"field": "site", "value": site})
+            org_fields.append({"field": "address", "value": saddr})
+        else:
+            front.append((site, "org"))
+            org_fields.append({"field": "site", "value": site})
+    if rng.random() < 0.12:
+        t = f"Unité de {rng.choice(lex.UNIT_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "unit", "value": t})
+    if rng.random() < 0.12:
+        t = f"Département {rng.choice(lex.ORG_DEPT_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "department", "value": t})
+    if rng.random() < 0.08:
+        t = f"Association {rng.choice(lex.ASSOCIATION_NAMES)}"
+        front.append((t, "org"))
+        org_fields.append({"field": "organization", "value": t})
+
     pole = f"Pôle {rng.choice(['Femmes - Mères - Enfants', 'Urgences', 'Chirurgie', 'Imagerie'])}"
     service = f"SERVICE DE {spec}"
     ln_street = f"{rng.randrange(1, 99)}, {rng.choice(lex.STREETS)}"
@@ -373,45 +490,102 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
               f"{rng.randrange(10, 100)} {rng.randrange(10, 100)}")
     # MIXED letterhead shapes (~35% each): the org hierarchy on one line
     # ("Pôle X - SERVICE DE Y") and the full postal address on one line
-    # ("17, Avenue ..., 22000 CITY Cedex") — decomposing them requires the
-    # fitted organization / address token taggers (the reference's
-    # OrganizationParser.java:58-… / AddressParser.java:57-…); in
-    # particular the settlement must be recovered from INSIDE the combined
-    # address line.
+    # ("17, Avenue ..., 22000 CITY Cedex[, France]") — decomposing them
+    # requires the fitted organization / address token taggers (the
+    # reference's OrganizationParser.java:58-… / AddressParser.java:57-…);
+    # in particular the settlement must be recovered from INSIDE the
+    # combined address line.
     mixed_org = rng.random() < 0.35
     mixed_addr = rng.random() < 0.35
-    front: list[tuple[str, str]] = []
     if mixed_org:
         front.append((f"{pole} - {service}", "org"))
     else:
         front.extend(((pole, "org"), (service, "org")))
+    org_fields.append({"field": "pole", "value": pole})
+    org_fields.append({"field": "service", "value": service})
+
+    address_fields: list[dict[str, str]] = []
+    addr_front: list[tuple[str, str]] = []
+    if rng.random() < 0.25:          # building line (+ optional note)
+        if rng.random() < 0.5:
+            bnum = rng.choice(lex.BUILDING_NUMBERS)
+            t = f"Bâtiment {bnum}"
+            address_fields.append({"field": "buildingnumber", "value": bnum})
+        else:
+            bname = rng.choice(lex.BUILDING_NAMES)
+            t = f"Immeuble {bname}"
+            address_fields.append({"field": "buildingname", "value": bname})
+        if rng.random() < 0.35:
+            t += " (2ème étage)"
+            address_fields.append({"field": "note", "value": "(2ème étage)"})
+        addr_front.append((t, "address_more"))
+    _st_num, _st_name = ln_street.split(", ", 1)
+    addr_country = ""
     if mixed_addr:
-        front.append((f"{ln_street}, {ln_pc}", "address_street"))
+        combined = f"{ln_street}, {ln_pc}"
+        if rng.random() < 0.25:
+            combined += ", France"
+            addr_country = "France"
+        addr_front.append((combined, "address_street"))
     else:
-        front.extend(((ln_street, "address_street"), (ln_pc, "address_pc")))
-    for t, fld in front + [(ln_tel, "phone"), (ln_fax, "fax")]:
+        addr_front.append((ln_street, "address_street"))
+        if rng.random() < 0.20:      # post-office box between street and pc
+            bp = str(rng.randrange(100, 1000))
+            addr_front.append((f"BP {bp}", "address_more"))
+            address_fields.append({"field": "pobox", "value": bp})
+        addr_front.append((ln_pc, "address_pc"))
+    address_fields.append({"field": "streetnumber", "value": _st_num})
+    address_fields.append({"field": "streetname", "value": _st_name})
+    address_fields.append({"field": "postcode", "value": ln_pc.split(" ", 1)[0]})
+    address_fields.append({"field": "city", "value": ln_pc.split(" ", 1)[1]})
+    if addr_country:
+        address_fields.append({"field": "country", "value": addr_country})
+    if rng.random() < 0.15:
+        dist = rng.choice(lex.DISTRICTS)
+        addr_front.append((f"Quartier {dist}", "address_more"))
+        address_fields.append({"field": "district", "value": dist})
+    if rng.random() < 0.12:
+        com = rng.choice(lex.COMMUNES)
+        addr_front.append((f"Commune de {com}", "address_more"))
+        address_fields.append({"field": "community", "value": com})
+    if rng.random() < 0.20:
+        dn, dd, dr = rng.choice(lex.DEPARTMENTS)
+        addr_front.append((f"{dn} ({dd}) - {dr}", "address_more"))
+        address_fields.append({"field": "departmentname", "value": dn})
+        address_fields.append({"field": "departmentnumber",
+                               "value": f"({dd})"})
+        address_fields.append({"field": "region", "value": dr})
+    front.extend(addr_front)
+
+    ln_note = ""
+    if rng.random() < 0.30:          # mixed contact line -> org tagger
+        contact = f"{ln_tel} - {ln_fax}"
+        if rng.random() < 0.25:
+            contact += " (standard)"
+            ln_note = "(standard)"
+        front.append((contact, "contact"))
+    else:
+        front.extend(((ln_tel, "phone"), (ln_fax, "fax")))
+    ln_web = ln_email = ""
+    _slug = city.lower().replace(" ", "-")
+    if rng.random() < 0.25:
+        ln_web = f"www.chu-{_slug}.fr"
+        front.append((ln_web, "web"))
+    if rng.random() < 0.20:
+        ln_email = f"secretariat@chu-{_slug}.fr"
+        front.append((ln_email, "email"))
+    for t, fld in front:
         emit("leftnote", t, field=fld)
     leftnote = {
         "idno": "",
-        "org": f"{pole} - {service}" if mixed_org else f"{pole} {service}",
-        "address": (f"{ln_street}, {ln_pc}" if mixed_addr
-                    else f"{ln_street} {ln_pc}"),
+        "org": " ".join(t for t, fld in front if fld == "org"),
+        "address": " ".join(t for t, fld in front
+                            if fld.startswith("address")),
         "country": "France",
         "settlement": city, "phone": ln_tel.split(": ", 1)[1],
-        "fax": ln_fax.split(": ", 1)[1], "email": "", "web": "",
-        "medics": [], "note": "",
+        "fax": ln_fax.split(": ", 1)[1], "email": ln_email, "web": ln_web,
+        "medics": [], "note": ln_note,
     }
-    #: sub-entity decomposition truth (the organization / address child
-    #: models' golden side — x_extract_org_fields / x_extract_address_fields)
-    org_fields = [{"field": "pole", "value": pole},
-                  {"field": "service", "value": service}]
-    _st_num, _st_name = ln_street.split(", ", 1)
-    address_fields = [
-        {"field": "streetnumber", "value": _st_num},
-        {"field": "streetname", "value": _st_name},
-        {"field": "postcode", "value": ln_pc.split(" ", 1)[0]},
-        {"field": "city", "value": ln_pc.split(" ", 1)[1]},
-    ]
 
     # ---- body pages -------------------------------------------------------
     for page in range(1, n_pages + 1):

@@ -59,6 +59,37 @@ STREETS = [
     "Avenue du Mal de Lattre de Tassigny", "Rue des Lilas",
 ]
 
+# --- letterhead / address sub-entity lexicons (reference grobid-home
+# lexicon analogs for the PatientParser/AddressParser/OrganizationParser
+# label vocabularies — PatientParser.java:473-514, AddressParser.java,
+# OrganizationParser.java writeField sets) ---------------------------------
+
+#: (departmentname, departmentnumber, region) rows for address lines like
+#: "Côtes-d'Armor (22) - Bretagne"
+DEPARTMENTS = [
+    ("Côtes-d'Armor", "22", "Bretagne"),
+    ("Val-de-Marne", "94", "Île-de-France"),
+    ("Rhône", "69", "Auvergne-Rhône-Alpes"),
+    ("Nord", "59", "Hauts-de-France"),
+    ("Gironde", "33", "Nouvelle-Aquitaine"),
+]
+
+BUILDING_NUMBERS = ["A", "B2", "C3", "D"]
+BUILDING_NAMES = ["Les Lilas", "Rosa Parks", "Jean Minjoz"]
+DISTRICTS = ["Saint-Michel", "Bellevue", "La Gare"]
+COMMUNES = ["Trégueux", "Langueux", "Plérin"]
+
+HOSPITAL_NAMES = ["Pontchaillou", "Saint-Louis", "Henri Mondor",
+                  "Pitié-Salpêtrière", "Bocage"]
+INSTITUTE_NAMES = ["Gustave Roussy", "Curie", "Pasteur"]
+DMU_NAMES = ["Neurosciences", "CARE", "Polyvalent"]
+CENTER_NAMES = ["Maladies Rares", "Mucoviscidose", "Sommeil"]
+SITE_NAMES = ["Sud", "Nord", "Pasteur"]
+UNIT_NAMES = ["soins intensifs", "réanimation néonatale",
+              "chirurgie ambulatoire"]
+ORG_DEPT_NAMES = ["d'Anesthésie", "de Pédiatrie", "d'Imagerie Médicale"]
+ASSOCIATION_NAMES = ["Croix-Rouge", "Solidarité Malades"]
+
 SECTIONS = [
     "DIAGNOSTIC", "RAPPEL CLINIQUE", "HISTOIRE DE LA MALADIE",
     "DESCRIPTION DETAILLEE", "COMPTE RENDU OPÉRATOIRE", "CONCLUSION",

@@ -19,7 +19,8 @@ from typing import Any
 from ..functions.dates import parse_date_iso
 from ..functions.textnorm import merge_field, normalize_space
 from .segmenter import (RE_AGE, RE_BIRTH, RE_DATELINE, RE_DOCNUM, RE_DOCTYPE,
-                        RE_IDNO, RE_MEDIC_LINE, RE_PADDR, RE_PATIENT_NAME)
+                        RE_IDNO, RE_MEDIC_LINE, RE_PADDR, RE_PATIENT_NAME,
+                        RE_SEX)
 
 _EMPTY_HEADER: dict[str, Any] = {k: "" for k in (
     "docnum", "doctype", "title", "date_iso", "time", "dateline",
@@ -66,10 +67,10 @@ def parse_person_name_fitted(persname: str) -> dict[str, str]:
 import json as _json
 import os as _os
 
-HEADER_LABELS = ("docnum", "dateline", "medic", "idno", "patient",
+HEADER_LABELS = ("docnum", "dateline", "medic", "idno", "sex", "patient",
                  "birthdate", "age", "patient_address", "doctype", "note")
 HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
-                   "r_patient", "r_birth", "r_age", "r_paddr",
+                   "r_sex", "r_patient", "r_birth", "r_age", "r_paddr",
                    "r_doctype", "largest_font")
 _HL = {b: i for i, b in enumerate(HEADER_LABELS)}
 _HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
@@ -89,6 +90,8 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
         f.append(_HF["r_medic"])
     if RE_IDNO.fullmatch(t):
         f.append(_HF["r_idno"])
+    if RE_SEX.fullmatch(t):
+        f.append(_HF["r_sex"])
     if RE_PATIENT_NAME.fullmatch(t):
         f.append(_HF["r_patient"])
     if RE_BIRTH.fullmatch(t):
@@ -114,6 +117,8 @@ def label_header_line_rules(t: str, largest: bool = False) -> str:
         return "medic"
     if RE_IDNO.fullmatch(t):
         return "idno"
+    if RE_SEX.fullmatch(t):
+        return "sex"
     if RE_PATIENT_NAME.fullmatch(t):
         return "patient"
     if RE_BIRTH.fullmatch(t):
@@ -250,15 +255,31 @@ def parse_header_zone(lines: list[str],
             person_names.append({"idx": len(person_names), **pn})
             continue
         if lab == "idno" and ":" in t:
+            # idno/idtype through the patient token tagger (reference
+            # PatientParser <idno>/<idType>, writeField :473-478)
             p = patient()
-            p["id"] = merge_field(p["id"], t.split(":", 1)[1].strip())
-            p["idtype"] = "IPP"
+            if use_rules:
+                p["id"] = merge_field(p["id"], t.split(":", 1)[1].strip())
+                p["idtype"] = "IPP"
+            else:
+                segs = tag_segments("patient", t)
+                p["id"] = merge_field(p["id"], segs.get("idno", ""))
+                p["idtype"] = segs.get("idtype", "")
+            continue
+        if lab == "sex" and ":" in t:
+            p = patient()
+            if use_rules:
+                p["sex"] = t.split(":", 1)[1].strip()
+            else:
+                p["sex"] = tag_segments("patient", t).get("sex", "")
             continue
         if lab == "patient":
             # sub-entity cascade: the patient TOKEN tagger separates
-            # name / birthdate / address when the line mixes them
-            # (reference PatientParser.java:58-222); on a pure-name line
-            # every token tags persname and the behavior is unchanged
+            # name / birthdate / birthplace / death / address / settlement
+            # / country / phone / email / note when the line mixes them
+            # (reference PatientParser.java:58-222, FULL writeField set
+            # since r4); on a pure-name line every token tags persname and
+            # the behavior is unchanged
             from .subentity import parse_patient_line
             seg = parse_patient_line(t, use_rules)
             pers = seg["persname"] or t
@@ -268,6 +289,13 @@ def parse_header_zone(lines: list[str],
                 p["birthdate"] = seg["birthdate"]
             if seg["address"]:
                 p["address"] = merge_field(p["address"], seg["address"])
+            for src, dst in (("birthplace", "birthplace"),
+                             ("death", "deathdate"),
+                             ("settlement", "town"), ("country", "country"),
+                             ("phone", "phone"), ("email", "email"),
+                             ("note", "note")):
+                if seg[src]:
+                    p[dst] = seg[src]
             patient_names.append(pers)
             pn = name_fn(pers)
             person_names.append({"idx": len(person_names), **pn})

@@ -13,9 +13,10 @@ from __future__ import annotations
 from typing import Any
 
 from ..functions.textnorm import normalize_space
-from .segmenter import (RE_FAX, RE_POLE, RE_POSTCODE, RE_SERVICE,
+from .segmenter import (RE_ADDR_MORE, RE_CONTACT, RE_EMAIL, RE_FAX,
+                        RE_ORG_INST, RE_POLE, RE_POSTCODE, RE_SERVICE,
                         RE_STAFF_NAME, RE_STAFF_ORG_PHONE, RE_STAFF_ROLE,
-                        RE_STAFF_ROLE_NAME, RE_STREET, RE_TEL)
+                        RE_STAFF_ROLE_NAME, RE_STREET, RE_TEL, RE_WEB)
 
 _EMPTY: dict[str, Any] = {
     "idno": "", "org": "", "address": "", "country": "", "settlement": "",
@@ -41,11 +42,13 @@ import os as _os
 
 LEFTNOTE_LABELS = ("org", "phone", "fax", "staff_org_phone",
                    "staff_role_name", "staff_name", "staff_role",
-                   "address_pc", "address_street", "note")
+                   "address_pc", "address_street", "address_more",
+                   "contact", "web", "email", "note")
 LEFTNOTE_FEATURES = ("bias", "r_pole", "r_service", "r_tel", "r_fax",
                      "r_staff_org_phone", "r_staff_role_name",
                      "r_staff_name", "r_staff_role", "r_postcode",
-                     "r_street")
+                     "r_street", "r_org_inst", "r_addr_more", "r_contact",
+                     "r_web", "r_email")
 _LL = {b: i for i, b in enumerate(LEFTNOTE_LABELS)}
 _LF = {f: i for i, f in enumerate(LEFTNOTE_FEATURES)}
 
@@ -59,6 +62,8 @@ _RX_FEATS = (
     (RE_STAFF_ROLE_NAME, "r_staff_role_name"),
     (RE_STAFF_NAME, "r_staff_name"), (RE_STAFF_ROLE, "r_staff_role"),
     (RE_POSTCODE, "r_postcode"), (RE_STREET, "r_street"),
+    (RE_ORG_INST, "r_org_inst"), (RE_ADDR_MORE, "r_addr_more"),
+    (RE_CONTACT, "r_contact"), (RE_WEB, "r_web"), (RE_EMAIL, "r_email"),
 )
 
 
@@ -72,12 +77,21 @@ def leftnote_line_features(t: str) -> list[int]:
 
 def label_leftnote_line_rules(t: str) -> str:
     """First-match cascade label — the A/B twin."""
-    if RE_POLE.fullmatch(t) or RE_SERVICE.fullmatch(t):
+    if RE_POLE.fullmatch(t) or RE_SERVICE.fullmatch(t) \
+            or RE_ORG_INST.fullmatch(t):
         return "org"
+    if RE_CONTACT.fullmatch(t):     # before phone: RE_TEL also matches
+        return "contact"
     if RE_TEL.fullmatch(t):
         return "phone"
     if RE_FAX.fullmatch(t):
         return "fax"
+    if RE_ADDR_MORE.fullmatch(t):
+        return "address_more"
+    if RE_WEB.fullmatch(t):
+        return "web"
+    if RE_EMAIL.fullmatch(t):
+        return "email"
     if RE_STAFF_ORG_PHONE.fullmatch(t):
         return "staff_org_phone"
     if RE_STAFF_ROLE_NAME.fullmatch(t):
@@ -147,12 +161,34 @@ def parse_leftnote_zone(lines: list[str],
                 m = RE_STAFF_NAME.fullmatch(t)
             if lab.startswith("staff") and m is None:
                 lab = "note"
+        if lab == "contact" and ":" not in t:
+            lab = "note"               # fitted-mispredict degradation
         if lab == "org":
             ln["org"] = (ln["org"] + " " + t).strip()
         elif lab == "phone":           # "Tél : 01 ..." is the org's own line
             ln["phone"] = t.split(":", 1)[1].strip()
         elif lab == "fax":
             ln["fax"] = t.split(":", 1)[1].strip()
+        elif lab == "contact":
+            # mixed "Tél : A - Fax : B [ (note)]" line -> the organization
+            # token tagger decomposes it (reference OrganizationParser
+            # <phone>/<fax>/<note>)
+            from .subentity import parse_org_fields
+            segs = parse_org_fields(t, use_rules)
+            if segs.get("phone"):
+                ln["phone"] = segs["phone"]
+            if segs.get("fax"):
+                ln["fax"] = segs["fax"]
+            if segs.get("note"):
+                ln["note"] = (ln["note"] + " " + segs["note"]).strip()
+        elif lab == "web":
+            from .subentity import parse_org_fields
+            ln["web"] = parse_org_fields(t, use_rules).get("web", t)
+        elif lab == "email":
+            from .subentity import parse_org_fields
+            ln["email"] = parse_org_fields(t, use_rules).get("email", t)
+        elif lab == "address_more":
+            ln["address"] = (ln["address"] + " " + t).strip()
         elif lab == "staff_org_phone":
             ln["medics"].append(f"orgName={m.group(1)}|phone={m.group(2)}")
         elif lab == "staff_role_name":

@@ -54,6 +54,7 @@ RE_DATELINE = re.compile(
     r"^([A-ZÀ-ÖØ-Þ ]+), le (\d{1,2}/\d{1,2}/\d{2,4})(?:, à (\d{1,2}h\d{2}))?$")
 RE_MEDIC_LINE = re.compile(r"^(?:Dr|Docteur|Pr)\.? .+, .+$")
 RE_IDNO = re.compile(r"^IPP ?: ?\d+$")
+RE_SEX = re.compile(r"^Sexe ?: ?[FM]$")
 RE_PATIENT_NAME = re.compile(r"^(?:Madame|Monsieur) .+$")
 RE_BIRTH = re.compile(r"^Né\(e\) le .+$")
 RE_AGE = re.compile(r"^\d+ ans$")
@@ -66,6 +67,19 @@ RE_STREET = re.compile(r"^\d+, .+$")
 RE_POSTCODE = re.compile(r"^\d{5} [A-ZÀ-ÖØ-Þ ]+(?: Cedex)?$")
 RE_TEL = re.compile(r"^Tél ?: .+$")
 RE_FAX = re.compile(r"^Fax ?: .+$")
+# r4 letterhead shapes for the full OrganizationParser / AddressParser
+# vocabularies: institution stack, extra address lines, mixed contact,
+# web / email lines
+RE_ORG_INST = re.compile(
+    r"^(?:CHU de .+|GHU .+|DMU .+|Hôpital .+|Université de .+"
+    r"|Institut .+|Centre de Référence .+|Site .+|Unité de .+"
+    r"|Département .+|Association .+)$")
+RE_ADDR_MORE = re.compile(
+    r"^(?:(?:Bâtiment|Immeuble) .+|BP \d+|Quartier .+|Commune de .+"
+    r"|.+ \(\d{1,3}\) - .+)$")
+RE_CONTACT = re.compile(r"^Tél ?: .+ - Fax ?: .+$")
+RE_WEB = re.compile(r"^www\.\S+$")
+RE_EMAIL = re.compile(r"^\S+@\S+$")
 
 # letterhead staff block (reference left-note fixture): role/name pairs,
 # secretariat phone lines, bare staff names/roles. The org token must
@@ -79,10 +93,11 @@ RE_STAFF_NAME = re.compile(r"^((?:Pr|Dr|Mme)\.? [A-ZÀ-ÖØ-Þ][\wà-ÿ .]*)$")
 RE_STAFF_ROLE = re.compile(r"^(Kinésithérapeute|Sage-femme|Infirmière)[\wà-ÿ' ]*$")
 
 _LEFTNOTE_RES = (RE_POLE, RE_SERVICE, RE_STREET, RE_POSTCODE, RE_TEL, RE_FAX,
+                 RE_ORG_INST, RE_ADDR_MORE, RE_CONTACT, RE_WEB, RE_EMAIL,
                  RE_STAFF_ROLE_NAME, RE_STAFF_ORG_PHONE, RE_STAFF_NAME,
                  RE_STAFF_ROLE)
 
-_HEADER_RES = (RE_DOCNUM, RE_DATELINE, RE_MEDIC_LINE, RE_IDNO,
+_HEADER_RES = (RE_DOCNUM, RE_DATELINE, RE_MEDIC_LINE, RE_IDNO, RE_SEX,
                RE_PATIENT_NAME, RE_BIRTH, RE_AGE, RE_PADDR)
 
 # one-pass alternations (hot path: one regex attempt per line instead of

@@ -8,37 +8,72 @@ AddressParser.java:57-..., OrganizationParser.java:58-...). Here each is a
 token-level multiclass perceptron over shape/position/context features
 (tools/train_subentity.py, zero train errors, committed as
 models/subentity_models.json); consecutive same-field tokens merge into
-segments. Regex-group splitters remain as the A/B twins — both paths feed
-the same field actions in operators/header.py / leftnote.py, and equality
-is pinned on the golden corpora and the reference fixtures
+segments. Deterministic keyword scanners remain as the A/B twins — both
+paths feed the same field actions in operators/header.py / leftnote.py,
+and equality is pinned on the golden corpora and the reference fixtures
 (tests/test_fitted_subentity.py).
 
+Since r4 the patient / address / organization label sets are the
+reference's FULL writeField vocabularies (VERDICT r3 "Next round" item 1):
+
+* patient — 15 labels incl. idno/idtype/sex/birthplace/death/settlement/
+  country/phone/email/note (PatientParser.java:473-514);
+* address — 15 labels incl. pobox/country/region/district/community/
+  buildingname/buildingnumber/departmentname/departmentnumber/note
+  (AddressParser.java writeField set);
+* organization — 22 labels incl. chu/ghu/dmu/hospital/university/
+  institution/center/site/unit/department/organization/address/
+  settlement/country/phone/fax/email/web/note
+  (OrganizationParser.java writeField set).
+
+The feature machinery adds a LAST-KEYWORD CONTEXT: a categorical state
+that switches at each keyword token ("CHU", "Hôpital", "demeurant",
+"Tél", "BP", ...) — the per-token analog of the reference featurizers'
+block/position context. Sticky prefix flags from r3 are retained for the
+already-fitted models.
+
 The patient tagger is LOAD-BEARING: ~35% of corpus docs carry a mixed
-patient line ("Madame X Y Z, né(e) le 12/03/1985, demeurant : 5, rue ...")
-whose name/birthdate/address can only be separated token-level — a
-line-granularity field model cannot split it (the reason the reference has
-FeaturesVectorPatient.java:164-427). Likewise the address tagger recovers
-the settlement from combined address lines, and the organization tagger
-decomposes the letterhead org string into pole/service.
+patient line ("Madame X Y Z, né(e) le 12/03/1985 à DIJON, demeurant :
+5, rue ... , Tél : ...") whose fields can only be separated token-level —
+a line-granularity field model cannot split it (the reason the reference
+has FeaturesVectorPatient.java:164-427). Likewise the organization tagger
+decomposes the full letterhead block (institution lines + pole/service)
+and the address tagger the joined postal block.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import re
 
-SUB_FEATURES = ("bias", "idx0", "idx1", "last", "title_lex", "post_comma",
-                "endcomma", "allcaps", "titlecase", "date_shape",
-                "time_shape", "has_digit", "is_le", "is_a",
-                # patient / address / organization context features (the
-                # FeaturesVectorPatient/Address/Organization analogs:
-                # keyword lexicons + prefix-context flags + number shapes)
-                "is_ne", "is_demeurant", "is_colon", "after_ne",
-                "after_demeurant", "after_colon", "is_ans", "five_digit",
-                "street_kw", "after_streetkw", "after_postcode", "is_cedex",
-                "is_dash", "is_pole_kw", "is_service_kw", "after_polekw",
-                "after_servicekw", "next_service_kw")
+SUB_FEATURES = (
+    "bias", "idx0", "idx1", "last", "title_lex", "post_comma",
+    "endcomma", "allcaps", "titlecase", "date_shape",
+    "time_shape", "has_digit", "is_le", "is_a",
+    # r3 patient / address / organization context features (the
+    # FeaturesVectorPatient/Address/Organization analogs: keyword lexicons
+    # + sticky prefix flags + number shapes)
+    "is_ne", "is_demeurant", "is_colon", "after_ne",
+    "after_demeurant", "after_colon", "is_ans", "five_digit",
+    "street_kw", "after_streetkw", "after_postcode", "is_cedex",
+    "is_dash", "is_pole_kw", "is_service_kw", "after_polekw",
+    "after_servicekw", "next_service_kw",
+    # r4 token-shape features for the full reference vocabularies
+    "is_france", "paren_digit", "next_paren_digit", "paren_open",
+    "single_upper", "short_upper", "pure_digit", "has_at", "has_www",
+    "seg_post_comma",
+    # r4 keyword self flags
+    "kw_chu", "kw_ghu", "kw_dmu", "kw_hosp", "kw_univ", "kw_inst",
+    "kw_center", "kw_site", "kw_unit", "kw_odept", "kw_assoc",
+    "kw_tel", "kw_fax", "kw_courriel", "kw_sexe", "kw_building",
+    "kw_bp", "kw_quartier", "kw_commune", "kw_decede", "kw_ipp",
+    # r4 last-keyword categorical context (resets at each keyword)
+    "ctx_chu", "ctx_ghu", "ctx_dmu", "ctx_hosp", "ctx_univ", "ctx_inst",
+    "ctx_center", "ctx_site", "ctx_unit", "ctx_odept", "ctx_assoc",
+    "ctx_tel", "ctx_fax", "ctx_courriel", "ctx_sexe", "ctx_building",
+    "ctx_bp", "ctx_quartier", "ctx_commune", "ctx_decede", "ctx_ipp",
+    "ctx_birth", "ctx_birthplace", "ctx_addr", "ctx_addrplace",
+    "ctx_dept", "ctx_region", "ctx_pc", "ctx_paren",
+)
 _SF = {f: i for i, f in enumerate(SUB_FEATURES)}
 
 SUB_LABELS = {
@@ -46,14 +81,24 @@ SUB_LABELS = {
     "medic": ("O", "persname", "role"),
     "name-person-medical": ("O", "title", "forename", "middlename",
                             "surname"),
-    # reference label subsets that this corpus grammar exercises
-    # (PatientParser: idno/persname/birthdate/age/address of the full
-    # 15-label set; AddressParser: streetnumber/streetname/postcode/city;
-    # OrganizationParser: pole/service of the org hierarchy)
-    "patient": ("O", "id", "persname", "birthdate", "age", "address"),
-    "address": ("O", "streetnumber", "streetname", "postcode", "city"),
-    "organization": ("O", "pole", "service"),
+    # FULL reference label vocabularies (r4): PatientParser.java:473-514,
+    # AddressParser.java / OrganizationParser.java writeField sets ("O" =
+    # the reference's <other>)
+    "patient": ("O", "idno", "idtype", "sex", "persname", "birthdate",
+                "birthplace", "age", "death", "address", "country",
+                "settlement", "phone", "email", "note"),
+    "address": ("O", "streetnumber", "streetname", "buildingname",
+                "buildingnumber", "city", "community", "country",
+                "departmentname", "departmentnumber", "district", "note",
+                "pobox", "postcode", "region"),
+    "organization": ("O", "address", "center", "chu", "country",
+                     "department", "dmu", "email", "fax", "ghu",
+                     "hospital", "institution", "note", "organization",
+                     "phone", "pole", "service", "settlement", "site",
+                     "university", "unit", "web"),
 }
+
+import os
 
 SUB_MODEL_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -63,10 +108,22 @@ _TITLES = {"Dr", "Dr.", "Docteur", "Pr", "Pr.", "Professeur", "Madame",
            "Monsieur", "Mme", "M."}
 RE_DATE_SHAPE = re.compile(r"\d{1,2}/\d{1,2}(/\d{2,4})?,?")
 RE_TIME_SHAPE = re.compile(r"\d{1,2}h\d{2},?")
+RE_PAREN_DIGIT = re.compile(r"\(\d{1,3}\),?")
 
 _STREET_KW = {"Avenue", "Rue", "Boulevard", "Allée", "Place", "Impasse",
               "avenue", "rue", "boulevard", "allée", "place", "impasse"}
 _NE_FORMS = {"né(e)", "née", "né"}
+_DECEDE_FORMS = {"décédé(e)", "décédée", "décédé"}
+_BUILDING_KW = {"Bâtiment", "Immeuble", "Bât."}
+_POBOX_KW = {"BP", "CS"}
+_ASSOC_KW = {"Association", "EHPAD"}
+
+#: self-labeled org keywords -> context name (the keyword token BELONGS to
+#: the org-name segment: "CHU de Dijon" is all <chu>)
+_ORG_SELF_KW = {"CHU": "chu", "GHU": "ghu", "DMU": "dmu",
+                "Hôpital": "hosp", "Université": "univ",
+                "Institut": "inst", "Centre": "center", "Site": "site",
+                "Unité": "unit", "Département": "odept"}
 
 
 def tokens_of(text: str) -> list[tuple[int, str]]:
@@ -85,15 +142,33 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
     n = len(toks)
     rows = []
     post_comma = False
-    # prefix-context flags: set once the trigger token has been SEEN —
-    # the per-token analog of the reference featurizers' block context
-    # (FeaturesVectorPatient/Address/Organization carry lexicon + relative-
-    # position features; a pure per-token shape can't tell 'DUPONT' the
-    # surname from 'DIJON' the city, the prefix context can)
+    # sticky prefix flags (r3): set once the trigger token has been SEEN
     after_ne = after_dem = after_colon = False
     after_streetkw = after_postcode = False
     after_polekw = after_servicekw = False
+    # last-keyword categorical context (r4): switches at each keyword;
+    # "" = no context. paren context remembers what to restore.
+    ctx = ""
+    prev_ctx = ""
+    seg_post_comma = False
     for i, (_s, tok) in enumerate(toks):
+        core = tok.rstrip(",.")
+        low = core.lower()
+        is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
+        # ---- SELF-INCLUSIVE context switches (before emitting) ----------
+        if core in _ORG_SELF_KW:
+            ctx = _ORG_SELF_KW[core]
+            seg_post_comma = False
+        elif core in _ASSOC_KW:
+            ctx = "assoc"
+            seg_post_comma = False
+        elif core == "Pôle" or core == "SERVICE":
+            ctx = ""            # pole/service ride the r3 sticky flags
+            seg_post_comma = False
+        elif tok.startswith("(") and not is_paren_digit:
+            prev_ctx = ctx
+            ctx = "paren"
+
         f = [_SF["bias"]]
         if i == 0:
             f.append(_SF["idx0"])
@@ -101,14 +176,13 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             f.append(_SF["idx1"])
         if i == n - 1:
             f.append(_SF["last"])
-        if tok.rstrip(",") in _TITLES:
+        if core in _TITLES or tok.rstrip(",") in _TITLES:
             f.append(_SF["title_lex"])
         if post_comma:
             f.append(_SF["post_comma"])
         if tok.endswith(","):
             f.append(_SF["endcomma"])
             post_comma = True
-        core = tok.rstrip(",.")
         if core.isupper() and core.isalpha():
             f.append(_SF["allcaps"])
         elif core[:1].isupper() and core[1:].islower():
@@ -123,7 +197,6 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             f.append(_SF["is_le"])
         if tok == "à":
             f.append(_SF["is_a"])
-        low = core.lower()
         if low in _NE_FORMS:
             f.append(_SF["is_ne"])
         if low == "demeurant":
@@ -160,22 +233,108 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             f.append(_SF["after_servicekw"])
         if i + 1 < n and toks[i + 1][1].rstrip(",") == "SERVICE":
             f.append(_SF["next_service_kw"])
+        # ---- r4 token-shape features ------------------------------------
+        if core in ("France", "FRANCE"):
+            f.append(_SF["is_france"])
+        if is_paren_digit:
+            f.append(_SF["paren_digit"])
+        if i + 1 < n and RE_PAREN_DIGIT.fullmatch(toks[i + 1][1]):
+            f.append(_SF["next_paren_digit"])
+        if tok.startswith("(") and not is_paren_digit:
+            f.append(_SF["paren_open"])
+        if len(core) == 1 and core.isupper():
+            f.append(_SF["single_upper"])
+        if 1 <= len(core) <= 2 and core[:1].isupper():
+            f.append(_SF["short_upper"])
+        if core.isdigit():
+            f.append(_SF["pure_digit"])
+        if "@" in tok:
+            f.append(_SF["has_at"])
+        if low.startswith("www."):
+            f.append(_SF["has_www"])
+        if seg_post_comma:
+            f.append(_SF["seg_post_comma"])
+        # ---- r4 keyword self flags --------------------------------------
+        if core in _ORG_SELF_KW:
+            f.append(_SF["kw_" + _ORG_SELF_KW[core]])
+        if core in _ASSOC_KW:
+            f.append(_SF["kw_assoc"])
+        if core == "Tél":
+            f.append(_SF["kw_tel"])
+        if core == "Fax":
+            f.append(_SF["kw_fax"])
+        if low == "courriel":
+            f.append(_SF["kw_courriel"])
+        if core == "Sexe":
+            f.append(_SF["kw_sexe"])
+        if core in _BUILDING_KW or tok in _BUILDING_KW:
+            f.append(_SF["kw_building"])
+        if core in _POBOX_KW:
+            f.append(_SF["kw_bp"])
+        if core == "Quartier":
+            f.append(_SF["kw_quartier"])
+        if core == "Commune":
+            f.append(_SF["kw_commune"])
+        if low in _DECEDE_FORMS:
+            f.append(_SF["kw_decede"])
+        if core == "IPP":
+            f.append(_SF["kw_ipp"])
+        if ctx:
+            f.append(_SF["ctx_" + ctx])
         rows.append(f)
-        # update prefix context AFTER emitting the current token's row
+        # ---- post-emission updates --------------------------------------
         if low in _NE_FORMS:
             after_ne = True
+            ctx, seg_post_comma = "birth", False
         if low == "demeurant":
             after_dem = True
+            ctx, seg_post_comma = "addr", False
         if tok == ":":
             after_colon = True
         if tok in _STREET_KW:
             after_streetkw = True
         if re.fullmatch(r"\d{5}", core):
             after_postcode = True
+            ctx, seg_post_comma = "pc", False
         if core == "Pôle":
             after_polekw = True
         if core == "SERVICE":
             after_servicekw = True
+        # value-after keyword switches
+        if core == "Tél":
+            ctx, seg_post_comma = "tel", False
+        elif core == "Fax":
+            ctx, seg_post_comma = "fax", False
+        elif low == "courriel":
+            ctx, seg_post_comma = "courriel", False
+        elif core == "Sexe":
+            ctx, seg_post_comma = "sexe", False
+        elif core in _BUILDING_KW or tok in _BUILDING_KW:
+            ctx, seg_post_comma = "building", False
+        elif core in _POBOX_KW:
+            ctx, seg_post_comma = "bp", False
+        elif core == "Quartier":
+            ctx, seg_post_comma = "quartier", False
+        elif core == "Commune":
+            ctx, seg_post_comma = "commune", False
+        elif low in _DECEDE_FORMS:
+            ctx, seg_post_comma = "decede", False
+        elif core == "IPP":
+            ctx, seg_post_comma = "ipp", False
+        elif tok == "à" and ctx == "birth":
+            ctx = "birthplace"
+        elif tok == "à" and ctx == "addr":
+            ctx = "addrplace"
+        elif is_paren_digit:
+            ctx, seg_post_comma = "dept", False
+        elif tok == "-" and ctx == "dept":
+            ctx = "region"
+        elif ctx == "paren" and tok.endswith(")"):
+            ctx = prev_ctx
+        elif ctx == "building" and core.isdigit():
+            ctx = ""       # building value run ends at the street number
+        if tok.endswith(","):
+            seg_post_comma = True
     return rows
 
 
@@ -213,7 +372,7 @@ def tag_segments(model: str, text: str,
                  W: list[list[float]] | None = None) -> dict[str, str]:
     """field -> surface text. Consecutive same-field tokens merge; a field's
     surface is the ORIGINAL char span (commas between its tokens kept,
-    trailing separator comma stripped — the regex twins' group semantics).
+    trailing separator comma stripped — the scanner twins' semantics).
 
     Memoized per worker for the committed weights (the hot path runs this
     6-9x per doc and letterhead/medic surfaces repeat heavily at scale);
@@ -250,6 +409,13 @@ def _tag_segments(model: str, text: str,
             if best is None or s > best:
                 best, arg = s, j
         tags.append(labels[arg])
+    return segments_to_fields(text, toks, tags)
+
+
+def segments_to_fields(text: str, toks: list[tuple[int, str]],
+                       tags: list[str]) -> dict[str, str]:
+    """Merge consecutive same-tag tokens into segments; keep the FIRST
+    segment per field; strip one trailing separator comma."""
     out: dict[str, str] = {}
     i, n = 0, len(toks)
     while i < n:
@@ -269,63 +435,326 @@ def _tag_segments(model: str, text: str,
 
 
 # --------------------------------------------------------------------------
-# parse helpers: fitted tagger by default, regex-group A/B twin under
-# use_rules — the same split the reference's resultExtraction methods do
-# after the CRF labels come back (PatientParser.java:129-222,
-# AddressParser / OrganizationParser resultExtraction)
+# Deterministic scanner twins (A/B): the same split the reference's
+# resultExtraction methods do after the CRF labels come back
+# (PatientParser.java:129-222, AddressParser / OrganizationParser
+# resultExtraction). Each returns per-token gold TAGS — the training
+# pre-annotation (createTraining analog) AND the rules path, so the fitted
+# tagger and the scanner stay field-for-field comparable by construction.
 # --------------------------------------------------------------------------
 
+#: composed mixed-patient-line shape (all optional parts in corpus order);
+#: kept for shape checks — the token scanner below is the authoritative twin
 RE_PATIENT_MIXED = re.compile(
-    r"^((?:Madame|Monsieur) .+?), né\(e\) le (\d{1,2}/\d{1,2}/\d{2,4}), "
-    r"demeurant ?: (.+)$")
+    r"^((?:Madame|Monsieur) .+?), né\(e\) le (\d{1,2}/\d{1,2}/\d{2,4})"
+    r"(?: à ([A-ZÀ-ÖØ-Þ ]+?))?"
+    r"(?:, décédé\(e\) le (\d{1,2}/\d{1,2}/\d{2,4}))?"
+    r", demeurant (?:: .+?|à [A-ZÀ-ÖØ-Þ ]+?)"
+    r"(?:, France)?(?:, Tél : [\d ]+?)?(?:, courriel : \S+)?"
+    r"(?: \(sous tutelle\))?$")
 RE_ADDR_FULL = re.compile(r"^(\d+), (.+?),? (\d{5}) (.+)$")
 RE_ADDR_STREET = re.compile(r"^(\d+), (.+)$")
 RE_ADDR_PC = re.compile(r"^(\d{5}) (.+)$")
 
 
+def patient_rule_tags(toks: list[tuple[int, str]]) -> list[str]:
+    """Keyword-scanner gold tags for the patient model (15 labels)."""
+    tags: list[str] = []
+    ctx = "persname" if toks and toks[0][1].rstrip(",") in (
+        "Madame", "Monsieur") else ""
+    n = len(toks)
+    text_has_kw = any(
+        t.rstrip(",.").lower() in (_NE_FORMS | _DECEDE_FORMS
+                                   | {"demeurant", "sexe", "ipp", "tél",
+                                      "courriel"})
+        or t.rstrip(",.") in ("IPP", "Tél", "Sexe")
+        for _s, t in toks)
+    if not text_has_kw and ctx == "":
+        # age line ("45 ans") or bare persname line
+        if toks and toks[-1][1].rstrip(",.").lower() == "ans":
+            return ["age"] * n
+        return ["persname"] * n
+    for _s, tok in toks:
+        core = tok.rstrip(",.")
+        low = core.lower()
+        if low in _NE_FORMS or low == "demeurant" or low in _DECEDE_FORMS \
+                or core in ("Sexe", "Tél") or low == "courriel" \
+                or tok == ":" or tok == "le":
+            tags.append("O")
+            if low in _NE_FORMS:
+                ctx = "birth"
+            elif low in _DECEDE_FORMS:
+                ctx = "death"
+            elif low == "demeurant":
+                ctx = "address"
+            elif core == "Sexe":
+                ctx = "sex"
+            elif core == "Tél":
+                ctx = "phone"
+            elif low == "courriel":
+                ctx = "email"
+            continue
+        if core == "IPP":
+            tags.append("idtype")
+            ctx = "idno"
+            continue
+        if tok == "à" and ctx == "birth":
+            tags.append("O")
+            ctx = "birthplace"
+            continue
+        if tok == "à" and ctx == "address":
+            tags.append("O")
+            ctx = "settlement"
+            continue
+        if tok.startswith("(") and not RE_PAREN_DIGIT.fullmatch(tok):
+            ctx = "note"
+        if core in ("France", "FRANCE") and ctx in ("address", "settlement"):
+            tags.append("country")
+            continue
+        if ctx == "birth":
+            tags.append("birthdate" if RE_DATE_SHAPE.fullmatch(tok) else "O")
+            continue
+        if ctx == "death":
+            tags.append("death" if RE_DATE_SHAPE.fullmatch(tok) else "O")
+            continue
+        tags.append(ctx if ctx else "O")
+    return tags
+
+
+def address_rule_tags(toks: list[tuple[int, str]]) -> list[str]:
+    """Keyword-scanner gold tags for the address model (15 labels)."""
+    tags: list[str] = []
+    ctx = ""
+    n = len(toks)
+    for i, (_s, tok) in enumerate(toks):
+        core = tok.rstrip(",.")
+        if core in _BUILDING_KW or tok in _BUILDING_KW:
+            tags.append("O")
+            ctx = ("buildingname" if core == "Immeuble"
+                   else "buildingnumber")
+            continue
+        if core in _POBOX_KW:
+            tags.append("O")
+            ctx = "pobox"
+            continue
+        if core == "Quartier":
+            tags.append("O")
+            ctx = "district"
+            continue
+        if core == "Commune":
+            tags.append("O")
+            ctx = "community"
+            continue
+        if RE_PAREN_DIGIT.fullmatch(tok):
+            tags.append("departmentnumber")
+            ctx = "dept"
+            continue
+        if tok == "-":
+            tags.append("O")
+            if ctx == "dept":
+                ctx = "region"
+            continue
+        if tok.startswith("(") and not RE_PAREN_DIGIT.fullmatch(tok):
+            ctx = "note"
+        if ctx == "note":
+            tags.append("note")
+            if tok.endswith(")"):
+                ctx = ""
+            continue
+        if core in ("France", "FRANCE"):
+            tags.append("country")
+            continue
+        if i + 1 < n and RE_PAREN_DIGIT.fullmatch(toks[i + 1][1]):
+            tags.append("departmentname")
+            continue
+        if re.fullmatch(r"\d{5}", core):
+            tags.append("postcode")
+            ctx = "city"
+            continue
+        if ctx == "community" and tok == "de":
+            tags.append("O")
+            continue
+        if ctx == "pobox" and core.isdigit():
+            tags.append("pobox")
+            ctx = ""
+            continue
+        if ctx in ("buildingname", "buildingnumber", "pobox", "district",
+                   "community", "city", "region"):
+            if core[:1].isdigit():
+                # the value run ends when a digit-led token starts (the
+                # next joined line's street number takes over) — release
+                # the context and fall through to the street shapes
+                ctx = ""
+            else:
+                tags.append(ctx)
+                if ctx in ("buildingnumber", "pobox"):
+                    ctx = ""     # one-token values release immediately
+                continue
+        # default street shapes
+        if core.isdigit():
+            tags.append("streetnumber")
+            continue
+        tags.append("streetname")
+    return tags
+
+
+def org_rule_tags(toks: list[tuple[int, str]]) -> list[str]:
+    """Keyword-scanner gold tags for the organization model (22 labels)."""
+    tags: list[str] = []
+    ctx = ""
+    seg_comma = False
+    label_of = {"chu": "chu", "ghu": "ghu", "dmu": "dmu",
+                "hosp": "hospital", "univ": "university",
+                "inst": "institution", "center": "center", "site": "site",
+                "unit": "unit", "odept": "department",
+                "assoc": "organization"}
+    n = len(toks)
+    prev_comma = False
+    for i, (_s, tok) in enumerate(toks):
+        if prev_comma:
+            seg_comma = True
+        prev_comma = tok.endswith(",")
+        core = tok.rstrip(",.")
+        low = core.lower()
+        if core in _ORG_SELF_KW:
+            ctx = _ORG_SELF_KW[core]
+            seg_comma = False
+            tags.append(label_of[ctx])
+            continue
+        if core in _ASSOC_KW:
+            ctx, seg_comma = "assoc", False
+            tags.append("organization")
+            continue
+        if core == "Pôle":
+            ctx, seg_comma = "pole", False
+            tags.append("pole")
+            continue
+        if core == "SERVICE":
+            ctx, seg_comma = "service", False
+            tags.append("service")
+            continue
+        if core == "Tél":
+            ctx, seg_comma = "tel", False
+            tags.append("O")
+            continue
+        if core == "Fax":
+            ctx, seg_comma = "fax", False
+            tags.append("O")
+            continue
+        if low == "courriel":
+            ctx, seg_comma = "courriel", False
+            tags.append("O")
+            continue
+        if tok == ":":
+            tags.append("O")
+            continue
+        if tok.startswith("(") and not RE_PAREN_DIGIT.fullmatch(tok):
+            ctx = "paren"
+        if ctx == "paren":
+            tags.append("note")
+            if tok.endswith(")"):
+                ctx = ""
+            continue
+        if "@" in tok:
+            tags.append("email")
+            continue
+        if low.startswith("www."):
+            tags.append("web")
+            continue
+        if core in ("France", "FRANCE"):
+            tags.append("country")
+            continue
+        if tok == "-":
+            # the LAST dash before SERVICE separates pole from service;
+            # inner dashes belong to the pole name — decided by lookahead
+            if ctx == "pole" and i + 1 < n \
+                    and toks[i + 1][1].rstrip(",") == "SERVICE":
+                tags.append("O")
+            elif ctx == "pole":
+                tags.append("pole")
+            else:
+                tags.append("O")
+            continue
+        if ctx == "tel":
+            tags.append("phone" if any(c.isdigit() for c in tok) else "O")
+            continue
+        if ctx == "fax":
+            tags.append("fax" if any(c.isdigit() for c in tok) else "O")
+            continue
+        if ctx == "site" and (core.isdigit() or tok in _STREET_KW
+                              or (seg_comma and any(
+                                  c.isdigit() for c in tok))):
+            # site-line street address: "Site Sud, 6, Avenue des Lilas"
+            ctx = "siteaddr"
+        if ctx == "siteaddr":
+            tags.append("address")
+            continue
+        if seg_comma and ctx in ("hosp", "univ", "inst"):
+            tags.append("settlement")
+            continue
+        if ctx in label_of:
+            tags.append(label_of[ctx])
+        elif ctx in ("pole", "service"):
+            tags.append(ctx)
+        else:
+            tags.append("O")
+    return tags
+
+
+def _rule_fields(model: str, text: str) -> dict[str, str]:
+    toks = tokens_of(text)
+    if not toks:
+        return {}
+    fn = {"patient": patient_rule_tags, "address": address_rule_tags,
+          "organization": org_rule_tags}[model]
+    return segments_to_fields(text, toks, fn(toks))
+
+
+def rule_tags(model: str, text: str) -> list[str]:
+    """Per-token gold tags from the scanner twin (training pre-annotation)."""
+    toks = tokens_of(text)
+    fn = {"patient": patient_rule_tags, "address": address_rule_tags,
+          "organization": org_rule_tags}[model]
+    return fn(toks)
+
+
 def parse_patient_line(t: str, use_rules: bool = False) -> dict[str, str]:
-    """One 'patient'-labeled header line -> persname / birthdate / address.
-    Handles BOTH the pure-name shape ('Madame X Y Z') and the mixed shape
-    ('Madame X Y Z, né(e) le d/m/y, demeurant : addr')."""
-    if use_rules:
-        m = RE_PATIENT_MIXED.fullmatch(t)
-        if m:
-            return {"persname": m.group(1), "birthdate": m.group(2),
-                    "address": m.group(3)}
-        return {"persname": t, "birthdate": "", "address": ""}
-    segs = tag_segments("patient", t)
-    return {"persname": segs.get("persname", t if not segs else ""),
+    """One 'patient'-labeled header line -> full patient field dict.
+    Handles the pure-name shape ('Madame X Y Z') and every mixed shape
+    ('Madame X Y Z, né(e) le d/m/y[ à CITY][, décédé(e) le d/m/y],
+    demeurant : addr | demeurant à CITY[, France][, Tél : ...]
+    [, courriel : ...][ (sous tutelle)]')."""
+    segs = _rule_fields("patient", t) if use_rules \
+        else tag_segments("patient", t)
+    return {"persname": segs.get("persname",
+                                 t if not segs else ""),
             "birthdate": segs.get("birthdate", ""),
-            "address": segs.get("address", "")}
+            "birthplace": segs.get("birthplace", ""),
+            "death": segs.get("death", ""),
+            "address": segs.get("address", ""),
+            "settlement": segs.get("settlement", ""),
+            "country": segs.get("country", ""),
+            "phone": segs.get("phone", ""),
+            "email": segs.get("email", ""),
+            "note": segs.get("note", ""),
+            "sex": segs.get("sex", ""),
+            "idno": segs.get("idno", ""),
+            "idtype": segs.get("idtype", "")}
 
 
 def parse_address_fields(t: str, use_rules: bool = False) -> dict[str, str]:
-    """An address string (street line, postcode line, or a combined full
-    address) -> streetnumber / streetname / postcode / city segments."""
-    if use_rules:
-        m = RE_ADDR_FULL.fullmatch(t)
-        if m:
-            return {"streetnumber": m.group(1), "streetname": m.group(2),
-                    "postcode": m.group(3), "city": m.group(4)}
-        m = RE_ADDR_PC.fullmatch(t)
-        if m:
-            return {"postcode": m.group(1), "city": m.group(2)}
-        m = RE_ADDR_STREET.fullmatch(t)
-        if m:
-            return {"streetnumber": m.group(1), "streetname": m.group(2)}
-        return {}
-    return tag_segments("address", t)
+    """An address string (street / postcode / building / BP / district /
+    commune / department lines, or the kernel-joined block) -> the full
+    AddressParser field set."""
+    return _rule_fields("address", t) if use_rules \
+        else tag_segments("address", t)
 
 
 def parse_org_fields(t: str, use_rules: bool = False) -> dict[str, str]:
-    """A letterhead organization string -> pole / service segments
-    ('Pôle Femmes - Mères - Enfants - SERVICE DE GYNECOLOGIE' must split at
-    the LAST dash, which only sequence context can decide)."""
-    if use_rules:
-        i = t.find("SERVICE")
-        if i > 0:
-            return {"pole": t[:i].rstrip(" -"), "service": t[i:]}
-        if i == 0:
-            return {"service": t}
-        return {"pole": t} if t else {}
-    return tag_segments("organization", t)
+    """A letterhead organization block -> the full OrganizationParser
+    field set ('Pôle Femmes - Mères - Enfants - SERVICE DE GYNECOLOGIE'
+    must split at the LAST dash, which only sequence context can decide;
+    'CHU de Dijon Hôpital Bocage, Dijon Pôle ...' decomposes into
+    chu/hospital/settlement/pole/service segments)."""
+    return _rule_fields("organization", t) if use_rules \
+        else tag_segments("organization", t)

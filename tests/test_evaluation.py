@@ -83,9 +83,8 @@ def test_split_and_nfold_harness():
     assert r["train_docs"] == 45 and r["eval_docs"] == 15
     assert 0.0 <= r["micro_accuracy"] <= 1.0
     assert r["n_decisions"] > 100
-    assert set(r["per_label"]) <= set(
-        ("docnum", "dateline", "medic", "idno", "patient", "birthdate",
-         "age", "patient_address", "doctype", "note"))
+    from grobid_medical_report_spark.operators.header import HEADER_LABELS
+    assert set(r["per_label"]) <= set(HEADER_LABELS)
     # this corpus is perfectly regular -> held-out must stay perfect; a
     # drop means the features no longer separate the grammar
     assert r["micro_accuracy"] == 1.0

@@ -29,15 +29,18 @@ def test_fitted_segments_equal_regex_twins_held_out():
     for model in se.SUB_LABELS:
         pae = model in ("patient", "address", "organization")
         for text, _feats, _gold in ts.examples(model, 300, 460):
-            exp = {}
-            segs = (ts._pae_segments(model, text) if pae
-                    else ts._segments_for(model, text))
-            for s0, s1, f in segs:
-                if f not in exp:
-                    seg = text[s0:s1]
-                    if seg.endswith(","):
-                        seg = seg[:-1]
-                    exp[f] = seg
+            if pae:
+                toks = se.tokens_of(text)
+                exp = se.segments_to_fields(text, toks,
+                                            se.rule_tags(model, text))
+            else:
+                exp = {}
+                for s0, s1, f in ts._segments_for(model, text):
+                    if f not in exp:
+                        seg = text[s0:s1]
+                        if seg.endswith(","):
+                            seg = seg[:-1]
+                        exp[f] = seg
             assert se.tag_segments(model, text) == exp, (model, text)
             checked += 1
     assert checked > 800
@@ -83,14 +86,104 @@ def test_patient_mixed_line_decodes_token_level():
          "demeurant : 5, Rue des Lilas DIJON")
     for ur in (False, True):
         seg = se.parse_patient_line(t, use_rules=ur)
-        assert seg == {"persname": "Madame Anne Marie DUPONT",
-                       "birthdate": "12/03/1985",
-                       "address": "5, Rue des Lilas DIJON"}, ur
+        assert seg["persname"] == "Madame Anne Marie DUPONT", ur
+        assert seg["birthdate"] == "12/03/1985", ur
+        assert seg["address"] == "5, Rue des Lilas DIJON", ur
+        assert not any(seg[k] for k in ("birthplace", "death", "settlement",
+                                        "country", "phone", "email",
+                                        "note", "sex")), (ur, seg)
     # pure-name shape: everything is the persname, nothing else fires
     for ur in (False, True):
         seg = se.parse_patient_line("Monsieur Jean Luc MARTIN", use_rules=ur)
         assert seg["persname"] == "Monsieur Jean Luc MARTIN"
         assert seg["birthdate"] == "" and seg["address"] == ""
+
+
+def test_patient_full_vocabulary_line():
+    """r4: the FULL PatientParser label set on one line — birthplace,
+    death date, settlement, country, phone, email and the guardianship
+    note all decode token-level, under both the fitted tagger and the
+    scanner twin (reference writeField set, PatientParser.java:473-514)."""
+    t = ("Monsieur Jean Luc MARTIN, né(e) le 12/03/1985 à LYON, "
+         "décédé(e) le 02/05/2021, demeurant : 5, Rue des Lilas 69000 "
+         "LYON, France, Tél : 06 12 34 56 78, "
+         "courriel : jean.martin@exemple.fr (sous tutelle)")
+    for ur in (False, True):
+        seg = se.parse_patient_line(t, use_rules=ur)
+        assert seg["persname"] == "Monsieur Jean Luc MARTIN", ur
+        assert seg["birthdate"] == "12/03/1985", ur
+        assert seg["birthplace"] == "LYON", ur
+        assert seg["death"] == "02/05/2021", ur
+        assert seg["address"] == "5, Rue des Lilas 69000 LYON", ur
+        assert seg["country"] == "France", ur
+        assert seg["phone"] == "06 12 34 56 78", ur
+        assert seg["email"] == "jean.martin@exemple.fr", ur
+        assert seg["note"] == "(sous tutelle)", ur
+    # 'demeurant à CITY' -> settlement, not address
+    t2 = "Madame Anne DUPONT, né(e) le 01/01/1990, demeurant à DIJON"
+    for ur in (False, True):
+        seg = se.parse_patient_line(t2, use_rules=ur)
+        assert seg["settlement"] == "DIJON" and seg["address"] == "", ur
+    # idno/idtype and sex lines route through the same tagger
+    for ur in (False, True):
+        segs = (se._rule_fields("patient", "IPP : 800099001") if ur
+                else se.tag_segments("patient", "IPP : 800099001"))
+        assert segs == {"idtype": "IPP", "idno": "800099001"}, ur
+        segs = (se._rule_fields("patient", "Sexe : F") if ur
+                else se.tag_segments("patient", "Sexe : F"))
+        assert segs == {"sex": "F"}, ur
+
+
+def test_org_and_address_full_vocabulary():
+    """r4: institution stack / extra address lines decompose into the full
+    OrganizationParser / AddressParser label sets under both paths."""
+    org = ("CHU de Dijon Hôpital Bocage, Dijon DMU Neurosciences "
+           "Université de Dijon, France Institut Curie "
+           "Centre de Référence Maladies Rares Site Sud, 6, Avenue de la "
+           "République Unité de soins intensifs Département de Pédiatrie "
+           "Association Croix-Rouge Pôle Urgences - SERVICE DE CARDIOLOGIE")
+    for ur in (False, True):
+        got = se.parse_org_fields(org, use_rules=ur)
+        assert got == {
+            "chu": "CHU de Dijon", "hospital": "Hôpital Bocage",
+            "settlement": "Dijon", "dmu": "DMU Neurosciences",
+            "university": "Université de Dijon", "country": "France",
+            "institution": "Institut Curie",
+            "center": "Centre de Référence Maladies Rares",
+            "site": "Site Sud", "address": "6, Avenue de la République",
+            "unit": "Unité de soins intensifs",
+            "department": "Département de Pédiatrie",
+            "organization": "Association Croix-Rouge",
+            "pole": "Pôle Urgences", "service": "SERVICE DE CARDIOLOGIE",
+        }, (ur, got)
+    contact = "Tél : 01 23 45 67 89 - Fax : 01 98 76 54 32 (standard)"
+    for ur in (False, True):
+        got = se.parse_org_fields(contact, use_rules=ur)
+        assert got == {"phone": "01 23 45 67 89",
+                       "fax": "01 98 76 54 32",
+                       "note": "(standard)"}, (ur, got)
+    for ur in (False, True):
+        assert se.parse_org_fields("www.chu-dijon.fr",
+                                   use_rules=ur) == {"web": "www.chu-dijon.fr"}
+        assert se.parse_org_fields("secretariat@chu-dijon.fr",
+                                   use_rules=ur) == {
+            "email": "secretariat@chu-dijon.fr"}
+    addr = ("Bâtiment B2 (2ème étage) 6, Rue Pasteur BP 308 21000 DIJON "
+            "Cedex Quartier Bellevue Commune de Plérin "
+            "Côtes-d'Armor (22) - Bretagne")
+    for ur in (False, True):
+        got = se.parse_address_fields(addr, use_rules=ur)
+        assert got == {
+            "buildingnumber": "B2", "note": "(2ème étage)",
+            "streetnumber": "6", "streetname": "Rue Pasteur",
+            "pobox": "308", "postcode": "21000", "city": "DIJON Cedex",
+            "district": "Bellevue", "community": "Plérin",
+            "departmentname": "Côtes-d'Armor", "departmentnumber": "(22)",
+            "region": "Bretagne",
+        }, (ur, got)
+    for ur in (False, True):
+        got = se.parse_address_fields("Immeuble Les Lilas", use_rules=ur)
+        assert got == {"buildingname": "Les Lilas"}, (ur, got)
 
 
 def test_org_mixed_splits_at_last_dash():

@@ -51,10 +51,16 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
     sents = {"doc_id": [], "span_order": [], "sent_idx": [], "start_char": [],
              "end_char": []}
     marks = {"doc_id": [], "span_order": [], "marker_kind": [], "target": []}
-    pats = {"doc_id": [], "patient_idx": [], "id": [], "persname": [],
-            "birthdate": [], "age": [], "address": []}
+    pats = {"doc_id": [], "patient_idx": [], "id": [], "idtype": [],
+            "persname": [], "sex": [], "birthdate": [], "age": [],
+            "birthplace": [], "deathdate": [], "address": [],
+            "country": [], "town": [], "phone": [], "email": [],
+            "note": []}
     orgf = {"doc_id": [], "field": [], "value": []}
     addrf = {"doc_id": [], "field": [], "value": []}
+    lnote = {"doc_id": [], "org": [], "address": [], "settlement": [],
+             "country": [], "phone": [], "fax": [], "email": [],
+             "web": [], "note": []}
 
     for d in docs:
         did = d["doc_id"]
@@ -99,8 +105,16 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
         for p in d["patients"]:
             pats["doc_id"].append(did)
             pats["patient_idx"].append(p["idx"])
-            for k in ("id", "persname", "birthdate", "age", "address"):
+            for k in ("id", "idtype", "persname", "sex", "birthdate",
+                      "age", "birthplace", "address", "country", "town",
+                      "phone", "email", "note"):
                 pats[k].append(p[k])
+            pats["deathdate"].append(p["deathdate"])
+        ln = d["leftnote"]
+        lnote["doc_id"].append(did)
+        for k in ("org", "address", "settlement", "country", "phone",
+                  "fax", "email", "web", "note"):
+            lnote[k].append(ln[k])
         for r in d["org_fields"]:
             orgf["doc_id"].append(did)
             orgf["field"].append(r["field"])
@@ -150,6 +164,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
                                           "start_char", "end_char"}),
         "expected_markers": tbl(marks, {"span_order"}),
         "expected_patients": tbl(pats, {"patient_idx"}),
+        "expected_leftnote": tbl(lnote, set()),
         "expected_org_fields": tbl(orgf, set()),
         "expected_address_fields": tbl(addrf, set()),
     }

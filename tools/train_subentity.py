@@ -88,56 +88,13 @@ def _segments_for(model: str, text: str) -> list[tuple[int, int, str]]:
     return segs
 
 
-def _pae_segments(model: str, t: str) -> list[tuple[int, int, str]] | None:
-    """Gold segments for the patient / address / organization models from
-    the RULE-twin regex groups (the createTraining pre-annotation)."""
-    if model == "patient":
-        m = se.RE_PATIENT_MIXED.fullmatch(t)
-        if m:
-            return [(m.start(1), m.end(1), "persname"),
-                    (m.start(2), m.end(2), "birthdate"),
-                    (m.start(3), m.end(3), "address")]
-        if t.startswith("IPP"):
-            i = t.index(":") + 1
-            while i < len(t) and t[i] == " ":
-                i += 1
-            return [(i, len(t), "id")]
-        if t.startswith("Né(e) le "):
-            return [(len("Né(e) le "), len(t), "birthdate")]
-        if t.startswith("Demeurant"):
-            i = t.index(":") + 1
-            while i < len(t) and t[i] == " ":
-                i += 1
-            return [(i, len(t), "address")]
-        if t.endswith(" ans"):
-            return [(0, len(t), "age")]
-        return [(0, len(t), "persname")]
-    if model == "address":
-        for rx, fields in ((se.RE_ADDR_FULL, ("streetnumber", "streetname",
-                                              "postcode", "city")),
-                           (se.RE_ADDR_PC, ("postcode", "city")),
-                           (se.RE_ADDR_STREET, ("streetnumber",
-                                                "streetname"))):
-            m = rx.fullmatch(t)
-            if m:
-                return [(m.start(g + 1), m.end(g + 1), f)
-                        for g, f in enumerate(fields)]
-        return None
-    # organization: split at the SERVICE keyword; the dash between pole
-    # and service (mixed shape) stays O
-    i = t.find("SERVICE")
-    if i > 0:
-        pole_end = len(t[:i].rstrip(" -"))
-        return [(0, pole_end, "pole"), (i, len(t), "service")]
-    if i == 0:
-        return [(0, len(t), "service")]
-    return [(0, len(t), "pole")] if t else None
-
-
 def pae_examples(model: str, lo: int, hi: int):
-    """(text, segments) pairs for patient / address / organization: the
+    """(text, gold tags) pairs for patient / address / organization: the
     per-line shapes the kernel routes to each tagger PLUS the joined
-    strings the decomposition queries run on."""
+    strings the decomposition queries run on. Gold token tags come from
+    the deterministic scanner twins (subentity.rule_tags) — the reference
+    createTraining pre-annotation analog, now covering the FULL label
+    vocabularies (r4)."""
     lines: list[str] = []
     for i in range(lo, hi):
         d = generate_doc(i)
@@ -145,8 +102,9 @@ def pae_examples(model: str, lo: int, hi: int):
             for j, lab in enumerate(d["line_labels"]):
                 if ZONE_OF[lab] != "header":
                     continue
-                if d["line_fields"][j] in ("patient", "idno", "birthdate",
-                                           "age", "patient_address"):
+                if d["line_fields"][j] in ("patient", "idno", "sex",
+                                           "birthdate", "age",
+                                           "patient_address"):
                     lines.append(normalize_space(d["spans"][j]["text"]))
         elif model == "address":
             for j, lab in enumerate(d["line_labels"]):
@@ -155,19 +113,22 @@ def pae_examples(model: str, lo: int, hi: int):
                     lines.append(normalize_space(d["spans"][j]["text"]))
             lines.append(d["leftnote"]["address"])   # kernel-joined form
         else:
-            lines.append(d["leftnote"]["org"])       # joined / mixed form
+            for j, lab in enumerate(d["line_labels"]):
+                if ZONE_OF[lab] == "leftnote" \
+                        and d["line_fields"][j] in ("org", "contact",
+                                                    "web", "email"):
+                    lines.append(normalize_space(d["spans"][j]["text"]))
+            lines.append(d["leftnote"]["org"])       # joined block form
     for text in lines:
-        segs = _pae_segments(model, text)
-        if segs is None:
+        if not text:
             continue
-        yield text, segs
+        yield text, se.rule_tags(model, text)
 
 
 def examples(model: str, lo: int, hi: int):
     if model in ("patient", "address", "organization"):
-        for text, segs in pae_examples(model, lo, hi):
+        for text, gold in pae_examples(model, lo, hi):
             toks = se.tokens_of(text)
-            gold = _gold_tags(model, text, segs)
             yield text, se.token_features(toks), \
                 [se.SUB_LABELS[model].index(g) for g in gold]
         return
