@@ -769,6 +769,63 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
+# OCR-noise tier (r4): seeded corruption for model evaluation. The clean
+# corpus (noise=0) is byte-stable and authoritative; the noisy twin exists
+# so the held-out eval harness DISCRIMINATES (VERDICT r3 item 2: every
+# model scored 1.0 on the perfectly regular grammar). Corruption uses its
+# OWN rng stream — the clean corpus draws are untouched.
+# --------------------------------------------------------------------------
+
+#: classic OCR confusions (bidirectional subsets chosen to stay plausible)
+_OCR_SUBS = {"o": "0", "O": "0", "l": "1", "I": "1", "e": "c", "a": "o",
+             "n": "m", "u": "v", "t": "f", "0": "o", "1": "l", "5": "S",
+             "8": "B", "2": "Z"}
+_ACCENTS = {"é": "e", "è": "e", "ê": "e", "ë": "e", "à": "a", "â": "a",
+            "ô": "o", "î": "i", "ï": "i", "û": "u", "ù": "u", "ç": "c",
+            "É": "E", "À": "A", "Ô": "O"}
+
+
+def noise_rng(i: int) -> random.Random:
+    """Corruption stream for doc ``i`` — independent of the generation
+    stream, so noisy twins never shift the clean corpus bytes."""
+    return random.Random(((SEED ^ 0x4E4F4953) << 32) ^ i)
+
+
+def corrupt_text(text: str, rng: random.Random, noise: float,
+                 spacing: bool = False) -> str:
+    """OCR-style corruption: per TOKEN, with probability ``noise``, apply
+    one of accent-strip / character substitution / adjacent transpose.
+    Token count (and thus token alignment with clean gold tags) is
+    preserved unless ``spacing=True``, which additionally allows an
+    inserted mid-token space (line-level evaluation only)."""
+    toks = text.split(" ")
+    out = []
+    for tok in toks:
+        if not tok or rng.random() >= noise:
+            out.append(tok)
+            continue
+        kind = rng.randrange(4 if spacing else 3)
+        chars = list(tok)
+        if kind == 0:      # accent strip (whole token)
+            chars = [_ACCENTS.get(c, c) for c in chars]
+        elif kind == 1:    # OCR character substitution
+            idxs = [k for k, c in enumerate(chars) if c in _OCR_SUBS]
+            if idxs:
+                k = idxs[rng.randrange(len(idxs))]
+                chars[k] = _OCR_SUBS[chars[k]]
+        elif kind == 2:    # adjacent transpose inside longer tokens
+            if len(chars) >= 5:
+                k = rng.randrange(1, len(chars) - 2)
+                chars[k], chars[k + 1] = chars[k + 1], chars[k]
+        else:              # spacing damage (token-splitting; line eval only)
+            if len(chars) >= 6:
+                k = rng.randrange(2, len(chars) - 2)
+                chars.insert(k, " ")
+        out.append("".join(chars))
+    return " ".join(out)
+
+
+# --------------------------------------------------------------------------
 # Spark-side corpus materialization (distributed; scales to any n_docs)
 # --------------------------------------------------------------------------
 

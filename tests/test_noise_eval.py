@@ -1,0 +1,69 @@
+"""Noisy-tier evaluation (r4): the held-out harness must DISCRIMINATE —
+score below 1.0 on OCR-corrupted docs, never rank the fitted path below
+the rules twin, and flag an intentionally-lobotomized model (VERDICT r3
+'What's wrong' item 1 / 'Next round' item 2)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from grobid_medical_report_spark.corpus import corrupt_text, noise_rng
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import evaluate_models as ev  # noqa: E402
+
+NOISE = 0.25
+
+
+def test_corrupt_text_is_seeded_and_token_preserving():
+    rng = noise_rng(7)
+    a = corrupt_text("Madame Abba Voletta DUPONT, né(e) le 12/03/1985",
+                     rng, 0.5)
+    b = corrupt_text("Madame Abba Voletta DUPONT, né(e) le 12/03/1985",
+                     noise_rng(7), 0.5)
+    assert a == b                                   # same stream, same bytes
+    src = "Université de Dijon, France décédé(e) demeurant"
+    for trial in range(20):
+        out = corrupt_text(src, noise_rng(trial), 0.9)
+        assert len(out.split(" ")) == len(src.split(" "))   # token-preserving
+    # spacing damage may split tokens (line-level eval only)
+    outs = {corrupt_text(src, noise_rng(t), 0.9, spacing=True)
+            for t in range(20)}
+    assert any(len(o.split(" ")) > len(src.split(" ")) for o in outs)
+    # noise=0 is the identity
+    assert corrupt_text(src, noise_rng(1), 0.0) == src
+
+
+def test_noisy_heldout_discriminates_and_fitted_beats_rules():
+    """On corrupted held-out docs the scores drop below 1.0 (the clean
+    corpus scored 1.0 everywhere — EVAL.md r3), and the fitted path never
+    falls below its rules twin; for the models whose features carry
+    redundancy beyond the twin's regexes (patient, dateline) fitted is
+    STRICTLY better."""
+    strict = {"patient", "dateline"}
+    for model in ("header-medical-report", "patient", "dateline"):
+        r = ev.eval_split(model, n_docs=150, noise=NOISE)
+        assert r["noise"] == NOISE
+        assert r["n_decisions"] > 80, model
+        assert r["micro_accuracy"] < 1.0, model          # discriminates
+        assert r["micro_accuracy"] >= r["rules_micro_accuracy"], model
+        if model in strict:
+            assert r["micro_accuracy"] > r["rules_micro_accuracy"], model
+
+
+def test_harness_detects_lobotomized_model():
+    """Zeroed weights (a 'trained' model that learned nothing) must score
+    FAR below the genuinely fitted model on the same held-out decisions —
+    the sanity property a non-discriminating harness cannot provide."""
+    fam = ev.FAMILIES["header-medical-report"]()
+    import contextlib
+    with contextlib.redirect_stdout(sys.stderr):
+        W = fam["fit"](fam["examples"](0, 100))
+    eval_data = fam["examples"](100, 150)
+    fitted = ev.prf(fam["pairs"](eval_data, W))["micro_accuracy"]
+    lobotomized = [[0.0] * len(row) for row in W]
+    broken = ev.prf(fam["pairs"](eval_data, lobotomized))["micro_accuracy"]
+    assert fitted == 1.0
+    assert broken < 0.5, broken
+    assert fitted - broken > 0.4

@@ -181,14 +181,145 @@ FAMILIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# NOISY tier (r4, VERDICT r3 item 2): seeded OCR corruption of the held-out
+# docs (corpus.corrupt_text — accent strip / char substitution / transpose /
+# spacing damage) makes the evaluation DISCRIMINATE: gold labels stay the
+# clean truth (line labels survive corruption; token taggers use
+# token-preserving corruption so clean gold tags map 1:1), models are
+# trained on CLEAN docs, and both the FITTED path and the RULES twin are
+# scored on the same corrupted decisions. fr-medical-ner is excluded:
+# its gold is entity char offsets, which corruption invalidates.
+# ---------------------------------------------------------------------------
+
+from grobid_medical_report_spark import corpus as _corpus  # noqa: E402
+
+
+def _noisy_seg(lo, hi, noise):
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        nrng = _corpus.noise_rng(i)
+        for texts, is_media, fc, lay, gold in tseg._doc_views(i):
+            ctexts = [t if is_media[k] else
+                      _corpus.corrupt_text(t, nrng, noise, spacing=True)
+                      for k, t in enumerate(texts)]
+            X = seg.line_features(ctexts, is_media, fc, lay)
+            gate = seg.annex_marker_mask(ctexts, is_media)
+            data.append((X, gate, gold))
+            rpred = seg.segment_doc(ctexts, is_media, fc, lay,
+                                    use_rules=True)
+            for g, p in zip(gold, rpred):
+                rule_pairs.append(
+                    (seg._OUT.get(seg.STATES[g], seg.STATES[g]), p))
+    return data, rule_pairs
+
+
+def _noisy_lines(lo, hi, noise, zone, feat_fn, rule_fn, labels, idx):
+    data, rule_pairs = [], []
+    from grobid_medical_report_spark.corpus import ZONE_OF, generate_doc
+    from grobid_medical_report_spark.functions.textnorm import \
+        normalize_space
+    for i in range(lo, hi):
+        nrng = _corpus.noise_rng(i)
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            if ZONE_OF[lab] != zone:
+                continue
+            gold = d["line_fields"][j]
+            t = normalize_space(d["spans"][j]["text"])
+            ct = _corpus.corrupt_text(t, nrng, noise, spacing=True)
+            data.append((feat_fn(ct), idx[gold]))
+            rule_pairs.append((gold, rule_fn(ct)))
+    return data, rule_pairs
+
+
+def _noisy_body(lo, hi, noise):
+    data, rule_pairs = [], []
+    from grobid_medical_report_spark.corpus import generate_doc
+    from grobid_medical_report_spark.operators.body import label_body_line
+    for i in range(lo, hi):
+        nrng = _corpus.noise_rng(i)
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            if lab not in tb._BODY_SET:
+                continue
+            t = d["spans"][j]["text"]
+            ct = _corpus.corrupt_text(t, nrng, noise, spacing=True)
+            data.append((body.body_line_features(ct), body._BL[lab]))
+            rule_pairs.append((lab, label_body_line(ct, False, False)))
+    return data, rule_pairs
+
+
+def _noisy_sub(model, lo, hi, noise):
+    """Token-preserving corruption: clean-text gold tags align 1:1 with
+    the corrupted tokens; the scanner twin re-runs on the corrupted text
+    (the rules path, typically losing keyword anchors)."""
+    data, rule_pairs = [], []
+    labels = se.SUB_LABELS[model]
+    nrng = _corpus.noise_rng(1_000_003 * lo + hi)
+    if model in ("patient", "address", "organization"):
+        gen = tsub.pae_examples(model, lo, hi)
+        items = [(text, gold) for text, gold in gen]
+    else:
+        items = [(text, [labels[g] for g in gold])
+                 for text, _f, gold in tsub.examples(model, lo, hi)]
+    for text, gold in items:
+        ct = _corpus.corrupt_text(text, nrng, noise, spacing=False)
+        feats = se.token_features(se.tokens_of(ct))
+        data.append((ct, feats, [labels.index(g) for g in gold]))
+        if model in ("patient", "address", "organization"):
+            rpred = se.rule_tags(model, ct)
+        else:
+            try:
+                rpred = tsub._gold_tags(model, ct,
+                                        tsub._segments_for(model, ct))
+            except Exception:      # regex twin cannot parse corrupted text
+                rpred = ["O"] * len(feats)
+        rule_pairs.extend(zip(gold, rpred))
+    return data, rule_pairs
+
+
+def noisy_examples(model: str, lo: int, hi: int, noise: float):
+    """(fitted eval data, [(gold, rule_pred)]) on corrupted held-out docs."""
+    if model == "medical-report-segmenter":
+        return _noisy_seg(lo, hi, noise)
+    if model == "full-medical-text":
+        return _noisy_body(lo, hi, noise)
+    if model == "header-medical-report":
+        return _noisy_lines(lo, hi, noise, "header",
+                            header.header_line_features,
+                            header.label_header_line_rules,
+                            header.HEADER_LABELS, header._HL)
+    if model == "left-note-medical-report":
+        return _noisy_lines(lo, hi, noise, "leftnote",
+                            leftnote.leftnote_line_features,
+                            leftnote.label_leftnote_line_rules,
+                            leftnote.LEFTNOTE_LABELS, leftnote._LL)
+    if model in se.SUB_LABELS:
+        return _noisy_sub(model, lo, hi, noise)
+    raise ValueError(f"no noisy tier for {model}")
+
+
 def eval_split(model: str, n_docs: int = 500,
-               train_fraction: float = 0.8) -> dict:
+               train_fraction: float = 0.8, noise: float = 0.0) -> dict:
     """The reference's split-train-evaluate (default 0.8): fit on the first
-    fraction of docs, score the held-out tail."""
+    fraction of docs, score the held-out tail. With ``noise > 0`` the
+    held-out docs are OCR-corrupted (train stays clean) and the result
+    also carries the RULES twin's accuracy on the same decisions — the
+    fitted-vs-rules delta under degradation."""
     fam = FAMILIES[model]()
     cut = int(n_docs * train_fraction)
     with contextlib.redirect_stdout(sys.stderr):   # epoch logs off stdout
         W = fam["fit"](fam["examples"](0, cut))
+    if noise > 0.0:
+        eval_data, rule_pairs = noisy_examples(model, cut, n_docs, noise)
+        res = prf(fam["pairs"](eval_data, W))
+        rules = prf(rule_pairs)
+        return {"model": model, "mode": "split", "train_docs": cut,
+                "eval_docs": n_docs - cut, "split": train_fraction,
+                "noise": noise,
+                "rules_micro_accuracy": rules["micro_accuracy"],
+                "rules_macro_f1": rules["macro_f1"], **res}
     res = prf(fam["pairs"](fam["examples"](cut, n_docs), W))
     return {"model": model, "mode": "split", "train_docs": cut,
             "eval_docs": n_docs - cut, "split": train_fraction, **res}
@@ -223,11 +354,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-docs", type=int, default=500)
     ap.add_argument("--split", type=float, default=0.8)
     ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="OCR-corrupt the held-out docs (split mode); "
+                         "fr-medical-ner is skipped at noise>0")
     ap.add_argument("--models", default=",".join(FAMILIES))
     args = ap.parse_args(argv)
     for model in args.models.split(","):
+        if args.noise > 0.0 and model == "fr-medical-ner":
+            continue               # gold = char offsets; see noisy_examples
         if args.mode == "split":
-            r = eval_split(model, args.n_docs, args.split)
+            r = eval_split(model, args.n_docs, args.split, args.noise)
         else:
             r = eval_nfold(model, args.n_docs, args.folds)
         print(json.dumps(r, ensure_ascii=False))
