@@ -212,6 +212,17 @@ def x_extract_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EXT_CACHE[key]
 
 
+def x_extract_bold_medics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level layout decision (r4): signing medics detected from
+    in-span BOLD char runs on the layout corpus — a plain 'Validé par
+    Docteur X' line is textually identical, so only the per-token style
+    attrs can decide (plans/pipeline.py:bold_medic_mentions)."""
+    from grobid_medical_report_spark.plans.pipeline import \
+        bold_medic_mentions
+    return bold_medic_mentions(
+        corpus_df(spark, _n_extract(spark, sf_dir), layout=True))
+
+
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grobid_medical_report_spark.operators.training import training_data
     return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_leftnote": x_extract_leftnote,
         "x_extract_org_fields": x_extract_org_fields,
         "x_extract_address_fields": x_extract_address_fields,
+        "x_extract_bold_medics": x_extract_bold_medics,
     }
     # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin a few
     # long-tail entries that were OUTSIDE the previous round's sampled
@@ -521,6 +533,8 @@ _X_ORACLES = {
         "expected_leftnote",
         "doc_id, org, address, settlement, country, phone, fax, email, "
         "web, note"),
+    "x_extract_bold_medics": _golden(
+        "expected_bold_medics", "doc_id, persname"),
     "x_extract_org_fields": _golden(
         "expected_org_fields", "doc_id, field, value"),
     "x_extract_address_fields": _golden(

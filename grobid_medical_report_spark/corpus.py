@@ -224,9 +224,16 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
     #: reference's header-medical-report / left-note-medical-report labels);
     #: "" for lines outside those zones
     line_fields: list[str] = []
-    #: parallel per-line style tuples (font, size, bold, italic, x) — layout
-    #: mode only; y is assigned in a post-pass (resets at page breaks)
-    styles: list[tuple[str, float, bool, bool, float]] = []
+    #: parallel per-line style tuples (font, size, bold, italic, x,
+    #: bold_from, bold_to) — layout mode only; y is assigned in a post-pass
+    #: (resets at page breaks). bold_from/bold_to carry a TOKEN-LEVEL bold
+    #: run inside the line (char range, -1/-1 = none) — the SURVEY §1.1
+    #: LayoutToken per-token style granularity (r4, VERDICT item 5)
+    styles: list[tuple[str, float, bool, bool, float, int, int]] = []
+    #: truth: bold inline medic names (layout mode; the one decision that
+    #: NEEDS per-token styles — a plain 'Validé par Docteur X' line is
+    #: textually identical)
+    bold_medics: list[str] = []
     para_texts: list[str] = []                      # per generated paragraph
     para_entities: list[list[dict[str, Any]]] = []  # offsets into para text
     para_sentences: list[list[tuple[int, int]]] = []  # sentence char ranges
@@ -269,15 +276,17 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
 
     def emit(label: str, text: str, ref: str = "", pseq: int = -1,
              dsize: float | None = None, bold: bool | None = None,
-             x: float | None = None, field: str = "") -> None:
+             x: float | None = None, field: str = "",
+             bold_run: tuple[int, int] | None = None) -> None:
         lines.append((label, text, ref, pseq))
         line_fields.append(field)
         if layout:
             d, b, it, xx = _LABEL_STYLE.get(label, (0.0, False, False, BODY_X))
+            bf, bt = bold_run if bold_run else (-1, -1)
             styles.append((body_font,
                            body_size + (d if dsize is None else dsize),
                            b if bold is None else bold, it,
-                           xx if x is None else x))
+                           xx if x is None else x, bf, bt))
 
     # ---- page 1 front matter -------------------------------------------
     emit("headnote", headnote)
@@ -628,6 +637,24 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
             para_markers.append(markers)
             for text_line in _split_lines(rng, p.text):
                 emit("paragraph", text_line, pseq=pseq)
+            if layout and rng.random() < 0.22:
+                # inline signature line: 'Validé par Docteur X Y.' — the
+                # name is BOLD in ~60% of cases (a per-token style run
+                # inside the span). Only the bold ones are signing medics;
+                # the plain variant is a textually-identical distractor,
+                # so the decision REQUIRES token-level layout attrs
+                # (reference LayoutToken per-token styles,
+                # MedicalReportSegmenterParser.java:392-558)
+                sig_name = (f"Docteur {rng.choice(lex.FIRST_NAMES)} "
+                            f"{rng.choice(lex.LAST_NAMES)}")
+                sig_line = f"Validé par {sig_name}."
+                if rng.random() < 0.6:
+                    run = (len("Validé par "),
+                           len("Validé par ") + len(sig_name))
+                    emit("paragraph", sig_line, bold_run=run)
+                    bold_medics.append(sig_name)
+                else:
+                    emit("paragraph", sig_line)
             extra = rng.random()
             if extra < 0.15:
                 # a bare item list drops the dash marker: indentation (x)
@@ -679,9 +706,10 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
               "media_ref": ref if is_media else "",
               "offset": off}
         if layout:
-            f, s, b, it, xx = styles[off]
+            f, s, b, it, xx, bf, bt = styles[off]
             sp.update({"font": f, "font_size": s, "bold": b, "italic": it,
-                       "x": xx, "y": ys[off]})
+                       "x": xx, "y": ys[off], "bold_from": bf,
+                       "bold_to": bt})
         spans.append(sp)
 
     # ---- expected outputs (golden oracle) ----------------------------------
@@ -765,6 +793,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         "line_labels": [lab for lab, _, _, _ in lines],
         "line_fields": line_fields,
         "line_styles": styles if layout else [],
+        "bold_medics": bold_medics,
     }
 
 
@@ -840,7 +869,7 @@ INPUT_SCHEMA_LAYOUT = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int,"
     "font:string,font_size:double,bold:boolean,italic:boolean,"
-    "x:double,y:double>>"
+    "x:double,y:double,bold_from:int,bold_to:int>>"
 )
 
 

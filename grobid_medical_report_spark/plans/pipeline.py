@@ -264,3 +264,22 @@ def result_spans(extracted: DataFrame) -> DataFrame:
             .select("doc_id", F.col("s.order").alias("order"),
                     F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
                     F.col("s.media_ref").alias("media_ref")))
+
+
+def bold_medic_mentions(df: DataFrame) -> DataFrame:
+    """Signing-medic detection from TOKEN-LEVEL bold runs (r4): the layout
+    corpus carries an optional in-span bold char range (``bold_from``/
+    ``bold_to`` — the per-token style granularity of the reference's
+    LayoutToken, MedicalReportSegmenterParser.java:392-558). A bold
+    'Docteur X Y' inline in a body paragraph is the signing medic; the
+    textually-identical PLAIN 'Validé par Docteur X Y.' line is not — no
+    text-only decision can separate them (tests/test_layout.py proves the
+    distractors exist). Pure JVM column expressions: explode + substring +
+    title filter, no Python in the path — scale-safe at any corpus size."""
+    s = df.select("doc_id", F.explode("spans").alias("s"))
+    return (s.filter((F.col("s.kind") == "text") & (F.col("s.bold_from") >= 0))
+             .select("doc_id",
+                     F.expr("substring(s.text, s.bold_from + 1, "
+                            "s.bold_to - s.bold_from)").alias("persname"))
+             .filter(F.col("persname")
+                     .rlike("^(Docteur|Dr|Pr|Professeur) ")))

@@ -138,3 +138,36 @@ def test_layout_spark_end_to_end(spark):
             exp.append((d["doc_id"], s["order"], s["kind"], s["text"],
                         s["media_ref"]))
     assert [tuple(r) for r in out] == exp
+
+
+def test_bold_medic_mentions_need_token_level_styles(spark):
+    """r4 per-token layout attrs: the signing-medic decision is possible
+    ONLY with the in-span bold char runs — plain 'Validé par Docteur X.'
+    distractor lines are textually identical and must NOT be returned."""
+    from grobid_medical_report_spark.corpus import corpus_df, generate_doc
+    from grobid_medical_report_spark.plans.pipeline import \
+        bold_medic_mentions
+
+    N = 120
+    got = {(r["doc_id"], r["persname"])
+           for r in bold_medic_mentions(
+               corpus_df(spark, N, layout=True)).collect()}
+    want = set()
+    n_plain = n_bold = 0
+    for i in range(N):
+        d = generate_doc(i, layout=True)
+        for name in d["bold_medics"]:
+            want.add((d["doc_id"], name))
+            n_bold += 1
+        # count textually-identical PLAIN distractor lines
+        bolded = {f"Validé par {m}." for m in d["bold_medics"]}
+        plain = [s for s in d["spans"]
+                 if (s["text"] or "").startswith("Validé par Docteur")
+                 and s["text"] not in bolded]
+        n_plain += len(plain)
+    assert got == want
+    assert n_bold > 20 and n_plain > 10   # both variants exist; only bold returned
+    # the text-only corpus carries no bold runs at all — the decision is
+    # structurally impossible there (schema has no bold_from column)
+    d = generate_doc(3)
+    assert "bold_from" not in d["spans"][0]

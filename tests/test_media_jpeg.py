@@ -83,9 +83,32 @@ def test_malformed_streams_raise():
         decode_jpeg(bytes(stream[:40]))    # truncated too
 
 
-def test_progressive_rejected():
-    # hand-build an SOF2 header: SOI + SOF2 stub
-    stub = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+def test_progressive_equals_baseline_pixels():
+    """r4: the progressive scan script (interleaved DC first/refine,
+    per-component AC spectral bands with successive approximation and
+    genuine EOB runs) carries the same quantized coefficients as the
+    baseline encoding — decoded pixels must be IDENTICAL, byte for byte,
+    for both quantization regimes and non-multiple-of-8 sizes."""
+    rng = np.random.RandomState(7)
+    for (w, h) in ((8, 8), (16, 16), (24, 17), (40, 33)):
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        for flat in (True, False):
+            base = decode_jpeg(encode_jpeg(w, h, rgb, quality_flat=flat))
+            prog = decode_jpeg(encode_jpeg(w, h, rgb, quality_flat=flat,
+                                           progressive=True))
+            assert base == prog, (w, h, flat)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    rgb = _img(16, 16, lambda x, y: (x * 10, y * 10, 40))
+    stream = encode_jpeg(16, 16, rgb, progressive=True)
+    assert b"\xff\xc2" in stream and b"\xff\xc0" not in stream
+    assert stream.count(b"\xff\xda") >= 8      # DC x2 + AC bands per comp
+
+
+def test_lossless_jpeg_rejected():
+    # SOF3 (lossless) stub must still raise
+    stub = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(MediaFormatError):
         decode_jpeg(stub)
 
@@ -105,6 +128,9 @@ try:
         rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
         rw, rh, out = decode_jpeg(encode_jpeg(w, h, rgb))
         assert (rw, rh) == (w, h) and len(out) == w * h * 3
+        # the progressive twin of the same image decodes identically
+        assert decode_jpeg(encode_jpeg(w, h, rgb,
+                                       progressive=True)) == (rw, rh, out)
         got = np.frombuffer(out, np.uint8).astype(int)
         want = np.frombuffer(rgb, np.uint8).astype(int)
         # random (noise) images are the DCT worst case: per-coefficient

@@ -140,6 +140,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
     # resolvable only via font/bold/indent attrs — tests/test_layout.py)
     lspans = {"doc_id": [], "order": [], "kind": [], "text": [],
               "media_ref": []}
+    bmed = {"doc_id": [], "persname": []}
     for i in range(n_docs):
         d = generate_doc(i, layout=True)
         for sp in d["expected_spans"]:
@@ -148,6 +149,9 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
             lspans["kind"].append(sp["kind"])
             lspans["text"].append(sp["text"])
             lspans["media_ref"].append(sp["media_ref"])
+        for name in d["bold_medics"]:
+            bmed["doc_id"].append(d["doc_id"])
+            bmed["persname"].append(name)
 
     def tbl(cols: dict, int_cols: set[str]) -> pa.Table:
         return pa.table({k: pa.array(v, type=_i32 if k in int_cols else _str)
@@ -156,6 +160,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
     return {
         "expected_tei": tbl(tei, set()),
         "expected_spans_layout": tbl(lspans, {"order"}),
+        "expected_bold_medics": tbl(bmed, set()),
         "expected_spans": tbl(spans, {"order"}),
         "expected_header": tbl(header, set()),
         "expected_entities": tbl(ents, {"start_char", "end_char", "span_order"}),
