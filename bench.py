@@ -142,10 +142,14 @@ def main() -> None:
     def eff_now() -> float:
         return (min(low_trials) / min(high_trials)) / (HIGH / LOW)
 
-    for _ in range(3):
+    # two interleaved base rounds (r4: the richer corpus made trials ~15%
+    # longer and three base rounds ran the whole bench past a 10-minute
+    # budget); the adaptive tail still adds up to three more rounds when a
+    # noisy window depresses the efficiency estimate
+    for _ in range(2):
         one_round()
     extra = 0
-    while eff_now() < 0.8 and extra < 2:
+    while eff_now() < 0.8 and extra < 3:
         one_round()
         extra += 1
     t_low, t_high = min(low_trials), min(high_trials)

@@ -1,6 +1,6 @@
-"""TPC-H-adapted relational coverage, part 4: the five remaining canonical
-shapes (Q11, Q12, Q16, Q20, Q21), adapted to the testdata's column subset —
-lineitem serves as the part↔supplier bridge (no partsupp table) and
+"""TPC-H-adapted relational coverage, part 4: the remaining canonical
+shapes (Q11, Q12, Q16, Q17, Q20, Q21), adapted to the testdata's column
+subset — lineitem serves as the part↔supplier bridge (no partsupp table) and
 ship-delay vs o_orderdate replaces the ship/commit/receipt-date triple.
 
 Why each shape matters at 100 TB:
@@ -18,6 +18,13 @@ Why each shape matters at 100 TB:
 - half-over-total semi-join (Q20)   -> per-supplier conditional agg, then a
                                        broadcast semi-join back to the dim;
                                        no correlated subquery re-scan
+- correlated per-group scalar (Q17) -> the per-part avg-quantity subquery
+                                       decorrelated into ONE tiny aggregate
+                                       (selected parts only) broadcast back
+                                       onto the filtered fact — the fact
+                                       table is scanned once, and the
+                                       correlated re-scan TPC-H's text
+                                       implies never happens
 - sole-late-supplier (Q21)          -> the classic EXISTS/NOT-EXISTS pair
                                        re-expressed as ONE groupBy with two
                                        count-distincts + a join-back;
@@ -113,6 +120,36 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("p_brand", "p_type", "p_size")
              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's mid-size parts (p_size 10-20 stands in for the
+    missing p_container) stopped being filled — lines with quantity below
+    half the part's average quantity (0.5 instead of TPC-H's 0.2: the
+    synthetic quantity spread is narrower and 0.2 selects nothing).
+
+    The correlated scalar subquery is decorrelated Spark-first: the selected
+    parts are a broadcast semi-join filter, the per-part avg is ONE tiny
+    aggregate (~20 groups) broadcast back onto the already-filtered fact —
+    the lineitem table is scanned once and only brand-matched rows enter the
+    per-part shuffle. The revenue sum is DECIMAL so partial-agg order cannot
+    perturb the rounded scalar (same rule as q11)."""
+    sel = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") &
+        F.col("p_size").between(10, 20)).select("p_partkey")
+    l = (_t(spark, sf_dir, "lineitem")
+         .select("l_partkey", "l_quantity", "l_extendedprice")
+         .join(F.broadcast(sel), F.col("l_partkey") == sel.p_partkey,
+               "left_semi"))
+    lim = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("lim"))
+    return (l.join(F.broadcast(lim), "l_partkey")
+             .filter(F.col("l_quantity") < F.col("lim"))
+             .agg(F.round(
+                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                   .cast("double") / 7.0, 2).alias("avg_yearly"),
+                  F.count(F.lit(1)).alias("n_small_lines")))
 
 
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,6 +254,19 @@ ORACLES: dict[str, str] = {
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
+    "q17_small_quantity_revenue": """
+        WITH sel AS (SELECT p_partkey FROM part
+                     WHERE p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 20),
+        l AS (SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM sel)),
+        lim AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS lim
+                FROM l GROUP BY l_partkey)
+        SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small_lines
+        FROM l JOIN lim USING (l_partkey)
+        WHERE l_quantity < lim.lim
+    """,
     "q20_promotion_suppliers": """
         SELECT s_suppkey, s_name, n_name
         FROM supplier
@@ -258,6 +308,7 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q12_shipping_delay": q12_shipping_delay,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
 }

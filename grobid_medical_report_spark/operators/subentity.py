@@ -138,6 +138,127 @@ def tokens_of(text: str) -> list[tuple[int, str]]:
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _token_shape(tok: str):
+    """Context-free per-token work, memoized across calls (tokens repeat
+    heavily across documents — keyword tokens almost always, value tokens
+    within letterhead lexicons): the static feature-index tuple plus the
+    classification traits the context machine consumes."""
+    core = tok.rstrip(",.")
+    low = core.lower()
+    is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
+    paren_open = tok.startswith("(") and not is_paren_digit
+    f = [_SF["bias"]]
+    if core in _TITLES or tok.rstrip(",") in _TITLES:
+        f.append(_SF["title_lex"])
+    if tok.endswith(","):
+        f.append(_SF["endcomma"])
+    if core.isupper() and core.isalpha():
+        f.append(_SF["allcaps"])
+    elif core[:1].isupper() and core[1:].islower():
+        f.append(_SF["titlecase"])
+    if RE_DATE_SHAPE.fullmatch(tok):
+        f.append(_SF["date_shape"])
+    if RE_TIME_SHAPE.fullmatch(tok):
+        f.append(_SF["time_shape"])
+    if any(c.isdigit() for c in tok):
+        f.append(_SF["has_digit"])
+    if tok == "le":
+        f.append(_SF["is_le"])
+    if tok == "à":
+        f.append(_SF["is_a"])
+    if low in _NE_FORMS:
+        f.append(_SF["is_ne"])
+    if low == "demeurant":
+        f.append(_SF["is_demeurant"])
+    if tok == ":":
+        f.append(_SF["is_colon"])
+    if low == "ans":
+        f.append(_SF["is_ans"])
+    five_digit = bool(re.fullmatch(r"\d{5}", core))
+    if five_digit:
+        f.append(_SF["five_digit"])
+    if tok in _STREET_KW:
+        f.append(_SF["street_kw"])
+    if core == "Cedex":
+        f.append(_SF["is_cedex"])
+    if tok == "-":
+        f.append(_SF["is_dash"])
+    if core == "Pôle":
+        f.append(_SF["is_pole_kw"])
+    if core == "SERVICE":
+        f.append(_SF["is_service_kw"])
+    if core in ("France", "FRANCE"):
+        f.append(_SF["is_france"])
+    if is_paren_digit:
+        f.append(_SF["paren_digit"])
+    if paren_open:
+        f.append(_SF["paren_open"])
+    if len(core) == 1 and core.isupper():
+        f.append(_SF["single_upper"])
+    if 1 <= len(core) <= 2 and core[:1].isupper():
+        f.append(_SF["short_upper"])
+    if core.isdigit():
+        f.append(_SF["pure_digit"])
+    if "@" in tok:
+        f.append(_SF["has_at"])
+    if low.startswith("www."):
+        f.append(_SF["has_www"])
+    if core in _ORG_SELF_KW:
+        f.append(_SF["kw_" + _ORG_SELF_KW[core]])
+    if core in _ASSOC_KW:
+        f.append(_SF["kw_assoc"])
+    if core == "Tél":
+        f.append(_SF["kw_tel"])
+    if core == "Fax":
+        f.append(_SF["kw_fax"])
+    if low == "courriel":
+        f.append(_SF["kw_courriel"])
+    if core == "Sexe":
+        f.append(_SF["kw_sexe"])
+    if core in _BUILDING_KW or tok in _BUILDING_KW:
+        f.append(_SF["kw_building"])
+    if core in _POBOX_KW:
+        f.append(_SF["kw_bp"])
+    if core == "Quartier":
+        f.append(_SF["kw_quartier"])
+    if core == "Commune":
+        f.append(_SF["kw_commune"])
+    if low in _DECEDE_FORMS:
+        f.append(_SF["kw_decede"])
+    if core == "IPP":
+        f.append(_SF["kw_ipp"])
+    # value-after keyword classification (context switch applied AFTER the
+    # token emits) — "" when the token is not a value-after keyword
+    if core == "Tél":
+        vkw = "tel"
+    elif core == "Fax":
+        vkw = "fax"
+    elif low == "courriel":
+        vkw = "courriel"
+    elif core == "Sexe":
+        vkw = "sexe"
+    elif core in _BUILDING_KW or tok in _BUILDING_KW:
+        vkw = "building"
+    elif core in _POBOX_KW:
+        vkw = "bp"
+    elif core == "Quartier":
+        vkw = "quartier"
+    elif core == "Commune":
+        vkw = "commune"
+    elif low in _DECEDE_FORMS:
+        vkw = "decede"
+    elif core == "IPP":
+        vkw = "ipp"
+    else:
+        vkw = ""
+    return (tuple(f), core, low, is_paren_digit, paren_open, five_digit,
+            vkw)
+
+
 def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
     n = len(toks)
     rows = []
@@ -151,10 +272,10 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
     ctx = ""
     prev_ctx = ""
     seg_post_comma = False
+    shapes = [_token_shape(t) for _s, t in toks]
     for i, (_s, tok) in enumerate(toks):
-        core = tok.rstrip(",.")
-        low = core.lower()
-        is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
+        (static, core, low, is_paren_digit, paren_open, five_digit,
+         vkw) = shapes[i]
         # ---- SELF-INCLUSIVE context switches (before emitting) ----------
         if core in _ORG_SELF_KW:
             ctx = _ORG_SELF_KW[core]
@@ -165,58 +286,21 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
         elif core == "Pôle" or core == "SERVICE":
             ctx = ""            # pole/service ride the r3 sticky flags
             seg_post_comma = False
-        elif tok.startswith("(") and not is_paren_digit:
+        elif paren_open:
             prev_ctx = ctx
             ctx = "paren"
 
-        f = [_SF["bias"]]
+        f = list(static)
         if i == 0:
             f.append(_SF["idx0"])
         if i == 1:
             f.append(_SF["idx1"])
         if i == n - 1:
             f.append(_SF["last"])
-        if core in _TITLES or tok.rstrip(",") in _TITLES:
-            f.append(_SF["title_lex"])
         if post_comma:
             f.append(_SF["post_comma"])
         if tok.endswith(","):
-            f.append(_SF["endcomma"])
             post_comma = True
-        if core.isupper() and core.isalpha():
-            f.append(_SF["allcaps"])
-        elif core[:1].isupper() and core[1:].islower():
-            f.append(_SF["titlecase"])
-        if RE_DATE_SHAPE.fullmatch(tok):
-            f.append(_SF["date_shape"])
-        if RE_TIME_SHAPE.fullmatch(tok):
-            f.append(_SF["time_shape"])
-        if any(c.isdigit() for c in tok):
-            f.append(_SF["has_digit"])
-        if tok == "le":
-            f.append(_SF["is_le"])
-        if tok == "à":
-            f.append(_SF["is_a"])
-        if low in _NE_FORMS:
-            f.append(_SF["is_ne"])
-        if low == "demeurant":
-            f.append(_SF["is_demeurant"])
-        if tok == ":":
-            f.append(_SF["is_colon"])
-        if low == "ans":
-            f.append(_SF["is_ans"])
-        if re.fullmatch(r"\d{5}", core):
-            f.append(_SF["five_digit"])
-        if tok in _STREET_KW:
-            f.append(_SF["street_kw"])
-        if core == "Cedex":
-            f.append(_SF["is_cedex"])
-        if tok == "-":
-            f.append(_SF["is_dash"])
-        if core == "Pôle":
-            f.append(_SF["is_pole_kw"])
-        if core == "SERVICE":
-            f.append(_SF["is_service_kw"])
         if after_ne:
             f.append(_SF["after_ne"])
         if after_dem:
@@ -231,54 +315,13 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             f.append(_SF["after_polekw"])
         if after_servicekw:
             f.append(_SF["after_servicekw"])
-        if i + 1 < n and toks[i + 1][1].rstrip(",") == "SERVICE":
-            f.append(_SF["next_service_kw"])
-        # ---- r4 token-shape features ------------------------------------
-        if core in ("France", "FRANCE"):
-            f.append(_SF["is_france"])
-        if is_paren_digit:
-            f.append(_SF["paren_digit"])
-        if i + 1 < n and RE_PAREN_DIGIT.fullmatch(toks[i + 1][1]):
-            f.append(_SF["next_paren_digit"])
-        if tok.startswith("(") and not is_paren_digit:
-            f.append(_SF["paren_open"])
-        if len(core) == 1 and core.isupper():
-            f.append(_SF["single_upper"])
-        if 1 <= len(core) <= 2 and core[:1].isupper():
-            f.append(_SF["short_upper"])
-        if core.isdigit():
-            f.append(_SF["pure_digit"])
-        if "@" in tok:
-            f.append(_SF["has_at"])
-        if low.startswith("www."):
-            f.append(_SF["has_www"])
+        if i + 1 < n:
+            if shapes[i + 1][1] == "SERVICE":
+                f.append(_SF["next_service_kw"])
+            if shapes[i + 1][3]:
+                f.append(_SF["next_paren_digit"])
         if seg_post_comma:
             f.append(_SF["seg_post_comma"])
-        # ---- r4 keyword self flags --------------------------------------
-        if core in _ORG_SELF_KW:
-            f.append(_SF["kw_" + _ORG_SELF_KW[core]])
-        if core in _ASSOC_KW:
-            f.append(_SF["kw_assoc"])
-        if core == "Tél":
-            f.append(_SF["kw_tel"])
-        if core == "Fax":
-            f.append(_SF["kw_fax"])
-        if low == "courriel":
-            f.append(_SF["kw_courriel"])
-        if core == "Sexe":
-            f.append(_SF["kw_sexe"])
-        if core in _BUILDING_KW or tok in _BUILDING_KW:
-            f.append(_SF["kw_building"])
-        if core in _POBOX_KW:
-            f.append(_SF["kw_bp"])
-        if core == "Quartier":
-            f.append(_SF["kw_quartier"])
-        if core == "Commune":
-            f.append(_SF["kw_commune"])
-        if low in _DECEDE_FORMS:
-            f.append(_SF["kw_decede"])
-        if core == "IPP":
-            f.append(_SF["kw_ipp"])
         if ctx:
             f.append(_SF["ctx_" + ctx])
         rows.append(f)
@@ -293,7 +336,7 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             after_colon = True
         if tok in _STREET_KW:
             after_streetkw = True
-        if re.fullmatch(r"\d{5}", core):
+        if five_digit:
             after_postcode = True
             ctx, seg_post_comma = "pc", False
         if core == "Pôle":
@@ -301,26 +344,8 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
         if core == "SERVICE":
             after_servicekw = True
         # value-after keyword switches
-        if core == "Tél":
-            ctx, seg_post_comma = "tel", False
-        elif core == "Fax":
-            ctx, seg_post_comma = "fax", False
-        elif low == "courriel":
-            ctx, seg_post_comma = "courriel", False
-        elif core == "Sexe":
-            ctx, seg_post_comma = "sexe", False
-        elif core in _BUILDING_KW or tok in _BUILDING_KW:
-            ctx, seg_post_comma = "building", False
-        elif core in _POBOX_KW:
-            ctx, seg_post_comma = "bp", False
-        elif core == "Quartier":
-            ctx, seg_post_comma = "quartier", False
-        elif core == "Commune":
-            ctx, seg_post_comma = "commune", False
-        elif low in _DECEDE_FORMS:
-            ctx, seg_post_comma = "decede", False
-        elif core == "IPP":
-            ctx, seg_post_comma = "ipp", False
+        if vkw:
+            ctx, seg_post_comma = vkw, False
         elif tok == "à" and ctx == "birth":
             ctx = "birthplace"
         elif tok == "à" and ctx == "addr":
