@@ -458,12 +458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-prefix right behind the extraction oracles, so the driver's gate
     # re-covers the TPC-H tail over successive rounds. r4 slate: q9, q12,
     # q21, rollup, cube, the temporal joins and the multimodal scan
-    # (absent from CORRECTNESS_r03.json's sample).
+    # (absent from CORRECTNESS_r03.json's sample). q17 joins the slate the
+    # round it was born so the driver gate sees it at least once.
     from grobid_medical_report_spark.operators import (relational3,
                                                        relational4)
     out.update({
         "q9_product_profit": relational3.QUERIES["q9_product_profit"],
         "q12_shipping_delay": relational4.QUERIES["q12_shipping_delay"],
+        "q17_small_quantity_revenue":
+            relational4.QUERIES["q17_small_quantity_revenue"],
         "q21_waiting_suppliers":
             relational4.QUERIES["q21_waiting_suppliers"],
         "q_rollup_orders": relational2.QUERIES["q_rollup_orders"],

@@ -129,12 +129,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the part's average quantity (0.5 instead of TPC-H's 0.2: the
     synthetic quantity spread is narrower and 0.2 selects nothing).
 
-    The correlated scalar subquery is decorrelated Spark-first: the selected
-    parts are a broadcast semi-join filter, the per-part avg is ONE tiny
-    aggregate (~20 groups) broadcast back onto the already-filtered fact —
-    the lineitem table is scanned once and only brand-matched rows enter the
-    per-part shuffle. The revenue sum is DECIMAL so partial-agg order cannot
-    perturb the rounded scalar (same rule as q11)."""
+    The correlated scalar subquery is decorrelated Spark-first as a WINDOW
+    aggregate, not the textbook agg-then-join-back: the selected parts are a
+    broadcast semi-join filter, then ``avg(l_quantity) over (partition by
+    l_partkey)`` computes every part's limit in the same pass that filters
+    on it — lineitem is scanned ONCE (the groupBy+join-back form Catalyst
+    produces for the SQL formulation scans it twice, verified via
+    explain), and the one exchange carries only the ~1%-of-fact
+    brand-matched rows. The revenue sum is DECIMAL so partial-agg order
+    cannot perturb the rounded scalar (same rule as q11)."""
+    from pyspark.sql import Window
+
     sel = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") &
         F.col("p_size").between(10, 20)).select("p_partkey")
@@ -142,9 +147,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("l_partkey", "l_quantity", "l_extendedprice")
          .join(F.broadcast(sel), F.col("l_partkey") == sel.p_partkey,
                "left_semi"))
-    lim = l.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.5).alias("lim"))
-    return (l.join(F.broadcast(lim), "l_partkey")
+    lim = (F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+           * 0.5)
+    return (l.withColumn("lim", lim)
              .filter(F.col("l_quantity") < F.col("lim"))
              .agg(F.round(
                   F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
