@@ -308,6 +308,59 @@ def x_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "silence_ratio double, status string")
 
 
+def x_media_video_frames(spark: SparkSession, sf_dir: str,
+                         every: int = 3) -> DataFrame:
+    """REAL video decode (r4): deterministic uncompressed-DIB AVI payloads
+    are synthesized from each doc's bytes inside the Arrow batch
+    (functions/avi.py — RIFF list walk, avih/strf validation, bottom-up BGR
+    DIB rasters), decoded to (n, h, w, 3) RGB, and every ``every``-th frame
+    emits one row with its mean luma plus the stream's motion statistic —
+    container-walk + frame-sample, the first real operation every video
+    curation pipeline runs. Every 29th doc gets a truncated stream — must
+    land in ``status``, not poison the partition. Compressed codecs
+    (h264/vp9/av1) remain labeled stubs, as with audio/mp3."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.avi import (MediaFormatError, encode_avi, decode_avi,
+                                 video_stats)
+
+    m = media_table(spark, sf_dir).filter(F.col("meta.codec") == "rgb8")
+    w, h = 16, 12
+
+    def conv(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = 4 + (len(p) % 12)
+                need = n * h * w * 3
+                buf = np.frombuffer(
+                    (p * (need // max(len(p), 1) + 1))[:need], dtype=np.uint8)
+                frames = buf.reshape(n, h, w, 3)
+                avi = encode_avi(frames, fps=10)
+                if did % 29 == 0:
+                    avi = avi[: len(avi) // 2]   # truncated: must not raise
+                try:
+                    dec, fps = decode_avi(avi)
+                    assert np.array_equal(dec, frames)   # codec round-trip
+                    st = video_stats(avi)
+                    luma = (dec.astype(np.float64)
+                            @ np.array([0.299, 0.587, 0.114]))
+                    for idx in range(0, n, every):
+                        rows.append((did, idx, st["n_frames"], fps,
+                                     round(float(luma[idx].mean()), 6),
+                                     st["motion"], "ok"))
+                except MediaFormatError as exc:
+                    rows.append((did, -1, 0, 0, 0.0, 0.0, f"error: {exc}"))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "n_frames", "fps", "frame_luma",
+                "motion", "status"])
+
+    return m.mapInPandas(
+        conv, schema="doc_id bigint, frame_idx int, n_frames int, fps int, "
+                     "frame_luma double, motion double, status string")
+
+
 ORACLES: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE WHEN doc_id % 2 = 0 THEN 'pcm16' ELSE 'rgb8' END AS codec,
@@ -331,4 +384,5 @@ ROWS_ONLY_QUERIES = {
     "x_media_ppm_to_png": x_media_ppm_to_png,
     "x_media_jpg_to_png": x_media_jpg_to_png,
     "x_media_wav_features": x_media_wav_features,
+    "x_media_video_frames": x_media_video_frames,
 }
