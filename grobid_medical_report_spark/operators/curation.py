@@ -85,6 +85,36 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id", "word", "tf", "df", "score", "rank"))
 
 
+def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity score per document — the integer-exact stand-in
+    for the perplexity filtering every LLM curation pipeline runs (CCNet/
+    Gopher/DCLM shape): a token's rarity is the scaled inverse of its
+    corpus unigram probability (``total_tokens * 10_000 div count``,
+    integer division so Spark and DuckDB agree EXACTLY — same rule as
+    tf-idf above; 1e4 scale keeps ``total * scale`` inside bigint at
+    10^13-token corpora), and a document scores the tf-weighted sum and
+    mean over its tokens. High mean = rare/unusual vocabulary, low = stock
+    boilerplate. Shape: one (doc, word) partial agg feeds BOTH the corpus
+    frequency table and the per-doc join, so the join carries distinct
+    pairs, not occurrences; the 1-row total is broadcast."""
+    wd = (_words(_docs(spark, sf_dir))
+          .groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    freq = wd.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (wd.join(freq, "word")
+              .join(F.broadcast(total))
+              .withColumn("rar",
+                          F.expr("(total * CAST(10000 AS BIGINT)) div cnt")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                 F.sum(F.expr("tf * rar")).cast("bigint")
+                  .alias("rarity_sum"))
+            .withColumn("mean_rarity",
+                        F.expr("rarity_sum div n_tokens"))
+            .orderBy("doc_id"))
+
+
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: per-language percentage rates from a
     broadcast dim, membership decided by ``doc_id % 100 < rate``. Unlike
@@ -198,6 +228,23 @@ ORACLES: dict[str, str] = {
           FROM scored)
         WHERE rank <= 3
     """,
+    "q_doc_token_rarity": """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+          FROM documents),
+        wd AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        freq AS (SELECT word, sum(tf) AS cnt FROM wd GROUP BY 1),
+        total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * ((total * 10000) // cnt)) AS BIGINT)
+                 AS rarity_sum,
+               CAST(sum(tf * ((total * 10000) // cnt)) // sum(tf) AS BIGINT)
+                 AS mean_rarity
+        FROM wd JOIN freq USING (word) CROSS JOIN total
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "q_doc_stratified_sample": f"""
         SELECT lang, count(*) AS sampled_docs,
                CAST(sum(n_chars) AS BIGINT) AS sampled_chars
@@ -220,6 +267,7 @@ QUERIES = {
     "q_doc_decontaminate": q_doc_decontaminate,
     "q_doc_vocab_topk": q_doc_vocab_topk,
     "q_doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "q_doc_token_rarity": q_doc_token_rarity,
     "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_doc_quality_topk_per_lang": q_doc_quality_topk_per_lang,
 }
