@@ -38,6 +38,10 @@ TOPK_PER_LANG = 20
 #: training-mix knob
 SAMPLE_RATES = {"en": 10, "fr": 50, "de": 30, "es": 20, "zh": 5}
 
+#: per-language TOKEN budgets for the mix assembler — sized so each stratum
+#: is genuinely cut (sf0.01 carries ~3.5-12k tokens per language)
+MIX_BUDGETS = {"en": 5000, "fr": 2500, "de": 1500, "es": 2000, "zh": 800}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -115,6 +119,31 @@ def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-mix assembly — the step after scoring in
+    every LLM data pipeline: each language stratum is filled best-first
+    (n_chars as the quality key, doc_id the tiebreak — a TOTAL order, so
+    the cumulative sum is deterministic on any engine/partitioning) until
+    its token budget is exhausted. One scan, one window shuffle keyed by
+    lang, budgets broadcast; the greedy prefix-by-budget is exactly
+    ``sum(tokens) over (stratum order)`` <= budget, so no driver loop and
+    no second pass. At 100 TB the window partitions by (lang, salt) with
+    per-salt sub-budgets if one language dominates a single reducer."""
+    budgets = spark.createDataFrame(
+        sorted(MIX_BUDGETS.items()), "lang string, token_budget int")
+    t = (_docs(spark, sf_dir)
+         .select("doc_id", "lang", "n_chars",
+                 F.size(F.split(F.trim("text"), " ")).alias("n_tokens")))
+    w = (W.partitionBy("lang")
+          .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (t.withColumn("cum_tokens",
+                         F.sum("n_tokens").over(w).cast("bigint"))
+             .join(F.broadcast(budgets), "lang")
+             .filter(F.col("cum_tokens") <= F.col("token_budget"))
+             .select("lang", "doc_id", "n_tokens", "cum_tokens")
+             .orderBy("lang", "cum_tokens"))
+
+
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: per-language percentage rates from a
     broadcast dim, membership decided by ``doc_id % 100 < rate``. Unlike
@@ -179,6 +208,9 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RATES_SQL = "VALUES " + ", ".join(
     f"('{lg}', {r})" for lg, r in sorted(SAMPLE_RATES.items()))
+
+_BUDGETS_SQL = "VALUES " + ", ".join(
+    f"('{lg}', {b})" for lg, b in sorted(MIX_BUDGETS.items()))
 
 ORACLES: dict[str, str] = {
     "q_doc_decontaminate": f"""
@@ -245,6 +277,23 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY doc_id
     """,
+    "q_doc_training_mix": f"""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+                 len(string_split(trim(text), ' ')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT lang, doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                   AS cum_tokens
+          FROM t)
+        SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+        FROM c JOIN (SELECT * FROM ({_BUDGETS_SQL}) b(lang, token_budget))
+          USING (lang)
+        WHERE cum_tokens <= token_budget
+        ORDER BY lang, cum_tokens
+    """,
     "q_doc_stratified_sample": f"""
         SELECT lang, count(*) AS sampled_docs,
                CAST(sum(n_chars) AS BIGINT) AS sampled_chars
@@ -268,6 +317,7 @@ QUERIES = {
     "q_doc_vocab_topk": q_doc_vocab_topk,
     "q_doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "q_doc_token_rarity": q_doc_token_rarity,
+    "q_doc_training_mix": q_doc_training_mix,
     "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_doc_quality_topk_per_lang": q_doc_quality_topk_per_lang,
 }
