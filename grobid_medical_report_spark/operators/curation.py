@@ -101,7 +101,13 @@ def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate. Shape: one (doc, word) partial agg feeds BOTH the corpus
     frequency table and the per-doc join, so the join carries distinct
     pairs, not occurrences; the 1-row total is broadcast."""
-    wd = (_words(_docs(spark, sf_dir))
+    return token_rarity(_docs(spark, sf_dir))
+
+
+def token_rarity(d: DataFrame) -> DataFrame:
+    """DataFrame-level kernel behind q_doc_token_rarity (jobs compose it
+    over an already-curated corpus)."""
+    wd = (_words(d)
           .groupBy("doc_id", "word")
           .agg(F.count(F.lit(1)).alias("tf")))
     freq = wd.groupBy("word").agg(F.sum("tf").alias("cnt"))
@@ -129,16 +135,24 @@ def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum(tokens) over (stratum order)`` <= budget, so no driver loop and
     no second pass. At 100 TB the window partitions by (lang, salt) with
     per-salt sub-budgets if one language dominates a single reducer."""
-    budgets = spark.createDataFrame(
-        sorted(MIX_BUDGETS.items()), "lang string, token_budget int")
-    t = (_docs(spark, sf_dir)
-         .select("doc_id", "lang", "n_chars",
-                 F.size(F.split(F.trim("text"), " ")).alias("n_tokens")))
+    return training_mix(_docs(spark, sf_dir), MIX_BUDGETS)
+
+
+def training_mix(d: DataFrame, budgets: dict[str, int],
+                 priority_col: str = "n_chars") -> DataFrame:
+    """DataFrame-level kernel behind q_doc_training_mix. ``priority_col``
+    is the quality key that ranks docs within a stratum (jobs pass a model
+    score such as mean_rarity; the oracle uses n_chars); ties always break
+    on doc_id so the order is total and the cumulative sum deterministic."""
+    budgets_df = d.sparkSession.createDataFrame(
+        sorted(budgets.items()), "lang string, token_budget int")
+    t = d.select("doc_id", "lang", priority_col,
+                 F.size(F.split(F.trim("text"), " ")).alias("n_tokens"))
     w = (W.partitionBy("lang")
-          .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+          .orderBy(F.desc(priority_col), F.asc("doc_id")))
     return (t.withColumn("cum_tokens",
                          F.sum("n_tokens").over(w).cast("bigint"))
-             .join(F.broadcast(budgets), "lang")
+             .join(F.broadcast(budgets_df), "lang")
              .filter(F.col("cum_tokens") <= F.col("token_budget"))
              .select("lang", "doc_id", "n_tokens", "cum_tokens")
              .orderBy("lang", "cum_tokens"))

@@ -11,7 +11,12 @@ Chains the curation operators into one shippable job over a documents table
   3. quality gate       stopword ratio + length bounds + Gopher-style
                         repetition gates (dup-word / dup-bigram /
                         top-word fractions, Rae et al. 2021)
-  4. outputs            curated corpus parquet + a stats JSON line
+  4. rarity scoring     unigram-LM rarity per surviving doc (the
+                        perplexity-filter analog, integer-exact)
+  5. mix assembly       per-language token-budgeted best-first fill,
+                        ranked by the rarity score -> <output>_mix
+  6. outputs            curated corpus parquet + mix parquet + a stats
+                        JSON line
 
     spark-submit --py-files engine.zip jobs/run_curation.py \
         --input <sf_dir> --output /path/out [--jaccard 0.8] [--min-chars 100]
@@ -37,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-dup-word-frac", type=float, default=0.9)
     ap.add_argument("--max-dup-bigram-frac", type=float, default=0.75)
     ap.add_argument("--max-top-word-frac", type=float, default=0.3)
+    ap.add_argument("--budget-scale", type=float, default=1.0,
+                    help="multiplier on the per-language MIX_BUDGETS token "
+                         "budgets for the final mix assembly")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -83,13 +91,34 @@ def main(argv: list[str] | None = None) -> int:
     curated = docs.join(survivors, "doc_id", "left_semi")
     curated.write.mode("overwrite").parquet(args.output)
 
-    n_out = spark.read.parquet(args.output).count()
+    # 4.-5. rarity scoring over the CURATED corpus (frequencies from what
+    # survived, not what was removed), then the token-budgeted mix with
+    # rarity as the per-stratum quality key
+    from grobid_medical_report_spark.operators.curation import (
+        MIX_BUDGETS, token_rarity, training_mix)
+
+    curated_df = spark.read.parquet(args.output)
+    scored = curated_df.join(
+        token_rarity(curated_df).select("doc_id", "mean_rarity"), "doc_id")
+    budgets = {lg: int(b * args.budget_scale)
+               for lg, b in MIX_BUDGETS.items()}
+    mix = training_mix(scored, budgets, priority_col="mean_rarity")
+    mix_out = args.output.rstrip("/") + "_mix"
+    mix.write.mode("overwrite").parquet(mix_out)
+    mix_stats = {r["lang"]: {"docs": r["docs"], "tokens": r["tokens"]}
+                 for r in (spark.read.parquet(mix_out).groupBy("lang")
+                           .agg(F.count(F.lit(1)).alias("docs"),
+                                F.max("cum_tokens").alias("tokens"))
+                           .collect())}
+
+    n_out = curated_df.count()
     stats = {"docs_in": n_in,
              "exact_dup_removed": n_in - n_exact,
              "near_dup_removed": n_exact - n_near,
              "quality_removed": n_near - n_out,
              "docs_out": n_out,
-             "kept_fraction": round(n_out / n_in, 4) if n_in else 0.0}
+             "kept_fraction": round(n_out / n_in, 4) if n_in else 0.0,
+             "mix": mix_stats}
     print(json.dumps(stats))
     spark.stop()
     return 0
