@@ -106,10 +106,20 @@ def q_doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_rarity(d: DataFrame) -> DataFrame:
     """DataFrame-level kernel behind q_doc_token_rarity (jobs compose it
-    over an already-curated corpus)."""
+    over an already-curated corpus).
+
+    The (doc, word) partial aggregate feeds three consumers (the per-doc
+    join, the frequency table, and through it the corpus total), so it is
+    persisted: without the cache Spark re-derives it per branch and the
+    corpus is scanned three times (observed in the formatted plan); with
+    it there is exactly one scan + explode, and the recomputed branches
+    read the spilled aggregate instead."""
+    from pyspark.storagelevel import StorageLevel
+
     wd = (_words(d)
           .groupBy("doc_id", "word")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     freq = wd.groupBy("word").agg(F.sum("tf").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
     scored = (wd.join(freq, "word")
