@@ -32,6 +32,9 @@ def dehyphenize_join(lines: list[str]) -> str:
     """Join consecutive lines into one normalized string, repairing
     end-of-line hyphenation (``exa-`` + ``men`` -> ``examen``)."""
     joined = normalize_space(" ".join(lines))
+    # fast path: the repair pattern requires a hyphen (most lines have none)
+    if "-" not in joined:
+        return joined
     return _HYPHEN_JOIN_RE.sub(r"\1", joined)
 
 

@@ -120,6 +120,20 @@ def _main_kind(t: str) -> str | None:
 
 
 @lru_cache(maxsize=65536)
+def _is_section_line(t: str) -> bool:
+    """Memoized ``RE_SECTION and not ANNEX`` test (pure; section-heading
+    lines draw from a small grammar and repeat across documents)."""
+    return bool(RE_SECTION.fullmatch(t)) and not RE_ANNEX_START.match(t)
+
+
+@lru_cache(maxsize=65536)
+def _front_flags(t: str) -> tuple[bool, bool]:
+    """Memoized (RE_LEFT, RE_HDR) pair — kept as independent flags because
+    a line may match both and both features must fire."""
+    return bool(RE_LEFT.match(t)), bool(RE_HDR.match(t))
+
+
+@lru_cache(maxsize=65536)
 def _front_kind(t: str) -> str | None:
     """Memoized front-matter classification: leftnote beats header, matching
     the original RE_LEFT-then-RE_HDR cascade order."""
@@ -282,9 +296,11 @@ def line_features(texts: list[str], is_media: np.ndarray,
     X[:, _FI["bias"]] = 1.0
     X[:, _FI["is_media"]] = is_media
 
-    mains = [None if is_media[i] else _main_kind(texts[i]) for i in range(n)]
+    im = is_media.tolist()        # numpy scalar indexing is ~5x a list read
+    mains = [None if im[i] else _main_kind(texts[i]) for i in range(n)]
     page_mark = np.fromiter((g == "page" for g in mains), dtype=bool, count=n)
     page_idx = np.concatenate(([0], np.cumsum(page_mark)[:-1]))
+    page_idx_l = page_idx.tolist()
 
     counts: dict[str, int] = {}
     for t in texts:
@@ -292,20 +308,20 @@ def line_features(texts: list[str], is_media: np.ndarray,
             counts[t] = counts.get(t, 0) + 1
 
     heading = _heading_mask(layout, is_media)
+    heading_l = heading.tolist() if heading is not None else None
     first_section = n
     for i, t in enumerate(texts):
-        if (RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t)) \
-                or (heading is not None and heading[i]):
+        if _is_section_line(t) or (heading_l is not None and heading_l[i]):
             first_section = i
             break
 
     for i, t in enumerate(texts):
-        if is_media[i]:
+        if im[i]:
             continue
         g = mains[i]
         if g is not None:
             X[i, _FI[f"m_{g}"]] = 1.0
-        front = (first_chunk and page_idx[i] == 0 and i < first_section
+        front = (first_chunk and page_idx_l[i] == 0 and i < first_section
                  and g is None)
         # repetition = CROSS-PAGE boilerplate evidence (the reference's F3
         # detector counts repeats across pages) — a duplicated line inside
@@ -315,8 +331,7 @@ def line_features(texts: list[str], is_media: np.ndarray,
             X[i, _FI["repeat"]] = 1.0
         if front:
             X[i, _FI["front"]] = 1.0
-            left = bool(RE_LEFT.match(t))
-            hdr = bool(RE_HDR.match(t))
+            left, hdr = _front_flags(t)
             if left:
                 X[i, _FI["front_left"]] = 1.0
             if hdr:
@@ -365,8 +380,9 @@ def annex_marker_mask(texts: list[str], is_media: np.ndarray) -> np.ndarray:
     """Structural gate: ``annex_b`` is emittable only at an ANNEXE marker
     line (the B- of the B-I constraint)."""
     n = len(texts)
+    im = is_media.tolist()
     return np.fromiter(
-        (not is_media[i] and _main_kind(texts[i]) == "annex"
+        (not im[i] and _main_kind(texts[i]) == "annex"
          for i in range(n)), dtype=bool, count=n)
 
 
