@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(m.QUERIES)
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
     out.update(getattr(strings, "ROWS_ONLY_QUERIES", {}))
+    out.update(getattr(textstats, "ROWS_ONLY_QUERIES", {}))
     out.update(sketches.ROWS_ONLY_QUERIES)
     out.update(bpe.ROWS_ONLY_QUERIES)
     out.update({

@@ -139,6 +139,47 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("top_word_frac")))
 
 
+def x_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (r4) — the cheap
+    redundancy/entropy heuristic LLM curation pipelines run next to the
+    Gopher gates (highly repetitive or low-entropy documents compress far
+    below natural prose). Ratio is scaled to an integer per mille so
+    downstream thresholds are engine-stable; the deflate stream itself is
+    standard zlib level 6, computed inside Arrow batches (stdlib zlib
+    releases the GIL, so executor cores stay busy). Rows-only: SQL has no
+    deflate, so the oracle gate records row counts and pytest pins the
+    ordering property (repetitive text < natural text < random-ish)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def comp(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            clen = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "raw_bytes": [len(b) for b in raw],
+                "zlib_bytes": clen,
+                "ratio_permille": [
+                    (c * 1000) // r if r else 1000
+                    for c, r in zip(clen, (len(b) for b in raw))],
+            })
+
+    return d.select("doc_id", "text").mapInPandas(
+        comp, schema="doc_id bigint, raw_bytes int, zlib_bytes int, "
+                     "ratio_permille int")
+
+
+ROWS_ONLY_QUERIES = {
+    "x_doc_compression": x_doc_compression,
+}
+
+
 ORACLES: dict[str, str] = {
     "q_doc_repetition": """
         WITH base AS (
