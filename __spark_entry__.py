@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
     out.update(getattr(strings, "ROWS_ONLY_QUERIES", {}))
     out.update(getattr(textstats, "ROWS_ONLY_QUERIES", {}))
+    out.update(getattr(dedup, "ROWS_ONLY_QUERIES", {}))
     out.update(sketches.ROWS_ONLY_QUERIES)
     out.update(bpe.ROWS_ONLY_QUERIES)
     out.update({

@@ -21,6 +21,7 @@ exact oracle; a production run at lower thresholds would use r=2..4 bands.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -378,6 +379,76 @@ _GROUPS_SQL = f"""
                 UNION SELECT a, b FROM reach)
     SELECT a AS doc_id, min(b) AS canon_id FROM closure GROUP BY a
 """
+
+WINNOW_K = 8          # k-gram length (chars), MOSS-style
+WINNOW_W = 16         # winnowing window: guarantee = one fingerprint per
+                      # (w + k - 1)-char stretch, matches >= w+k-1 chars found
+_WINNOW_B = np.uint64(257)
+_WINNOW_MASK = np.uint64(0xFFFFFFFF)
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    Karp-Rabin rolling hashes of every k-gram (base-257 poly mod 2^32,
+    vectorized — the sliding dot product with the power weights fits
+    uint64), then the leftmost-minimum of each w-hash window. Pure numpy;
+    returns the sorted distinct selected hashes. The winnowing guarantee:
+    any shared substring of length >= w + k - 1 yields at least one shared
+    fingerprint, which is what makes the digest a local (partial-overlap)
+    dedup signal where whole-doc md5 is all-or-nothing."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    n = b.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    weights = _WINNOW_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    hashes = (win * weights).sum(axis=1) & _WINNOW_MASK
+    if hashes.size <= w:
+        return np.unique(hashes.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins)
+
+
+def x_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting as an engine operator:
+    winnowed fingerprint sets per doc plus a set digest — the
+    partial-overlap dedup/provenance signal next to the all-or-nothing
+    md5 of q_doc_dedup_exact (a doc quoting 200 chars of another shares
+    fingerprints; their md5s never match). Numpy inside Arrow batches;
+    at 100 TB the (doc_id, fingerprint) explode feeds the same
+    bucket-join machinery as MinHash banding. Rows-only: the rolling-hash
+    + windowed-minimum pipeline has no SQL analog; pytest pins the
+    winnowing guarantee and overlap behavior."""
+    from typing import Iterator
+
+    import hashlib
+
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+
+    def fp(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                sel = winnow_fingerprints(t)
+                digest = hashlib.md5(sel.tobytes()).hexdigest()
+                rows.append((did, int(len(t)), int(sel.size), digest,
+                             int(sel[0]) if sel.size else -1))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_chars", "n_fingerprints", "fp_digest",
+                "min_fingerprint"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        fp, schema="doc_id bigint, n_chars int, n_fingerprints int, "
+                   "fp_digest string, min_fingerprint bigint")
+
+
+ROWS_ONLY_QUERIES = {
+    "x_doc_winnowing": x_doc_winnowing,
+}
+
 
 ORACLES: dict[str, str] = {
     "q_doc_dedup_exact": """

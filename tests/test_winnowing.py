@@ -1,0 +1,73 @@
+"""Winnowing fingerprints: the MOSS guarantee (shared substrings of length
+>= w+k-1 share a fingerprint), determinism, overlap behavior, and the Spark
+mapInPandas path."""
+
+import hashlib
+import random
+
+import numpy as np
+
+from grobid_medical_report_spark.operators.dedup import (WINNOW_K, WINNOW_W,
+                                                         winnow_fingerprints)
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def test_deterministic_and_case_insensitive():
+    t = "Le Patient Présente Une Toux Sèche."
+    a = winnow_fingerprints(t)
+    assert np.array_equal(a, winnow_fingerprints(t))
+    assert np.array_equal(a, winnow_fingerprints(t.lower()))
+
+
+def test_winnowing_guarantee_on_shared_block():
+    rng = random.Random(3)
+    a = _rand_text(rng, 800)
+    block = a[300:520]                      # 220 chars >> w + k - 1 = 23
+    b = _rand_text(rng, 250) + block + _rand_text(rng, 250)
+    fa, fb = winnow_fingerprints(a), winnow_fingerprints(b)
+    shared = np.intersect1d(fa, fb)
+    # the shared block alone must contribute multiple fingerprints
+    fblock = winnow_fingerprints(block)
+    assert len(np.intersect1d(fblock, fa)) > 0
+    assert len(np.intersect1d(fblock, fb)) > 0
+    assert len(shared) >= len(fblock) // 2
+
+
+def test_unrelated_texts_low_overlap():
+    rng = random.Random(9)
+    a = winnow_fingerprints(_rand_text(rng, 1000))
+    b = winnow_fingerprints(_rand_text(rng, 1000))
+    inter = len(np.intersect1d(a, b))
+    union = len(np.union1d(a, b))
+    assert inter / union < 0.05
+
+
+def test_density_and_short_inputs():
+    rng = random.Random(11)
+    t = _rand_text(rng, 2000)
+    f = winnow_fingerprints(t)
+    n_hashes = len(t) - WINNOW_K + 1
+    # expected density ~ 2/(w+1) before dedup; allow generous bounds
+    assert n_hashes / (WINNOW_W * 2) < len(f) < n_hashes
+    assert winnow_fingerprints("").size == 0
+    assert winnow_fingerprints("ab").size == 0          # shorter than k
+    assert winnow_fingerprints("abcdefgh").size == 1    # exactly one k-gram
+
+
+def test_spark_winnowing_path(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["x_doc_winnowing"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    d = {r.doc_id: r for r in rows}
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for sample in df.orderBy("doc_id").limit(5).collect():
+        sel = winnow_fingerprints(sample.text)
+        r = d[sample.doc_id]
+        assert r.n_fingerprints == sel.size
+        assert r.fp_digest == hashlib.md5(sel.tobytes()).hexdigest()
+        assert r.min_fingerprint == (int(sel[0]) if sel.size else -1)
