@@ -445,8 +445,65 @@ def x_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "fp_digest string, min_fingerprint bigint")
 
 
+WINNOW_MAX_DF = 100   # drop boilerplate fingerprints shared by > max_df
+                      # docs (MOSS "stop fingerprints") BEFORE pairing, so
+                      # bucket sizes are bounded and template text can't
+                      # create quadratic buckets
+WINNOW_MIN_SHARED = 12  # measured at sf0.01 against the exact-verified LSH
+                        # truth: (100, 12) -> recall 0.96 / 33 candidates;
+                        # surviving extras are genuine PARTIAL overlap
+                        # (shared sentences), which md5/MinHash-whole-doc
+                        # cannot express — downstream exact verification
+                        # decides, as with the LSH band candidates
+
+
+def winnow_fingerprint_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct fingerprint rows — numpy winnowing inside
+    Arrow batches, exploded JVM-side."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def fp(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fps": [winnow_fingerprints(t).astype("int64")
+                        for t in pdf["text"]]})
+
+    rows = d.select("doc_id", "text").mapInPandas(
+        fp, schema="doc_id bigint, fps array<bigint>")
+    return rows.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def x_doc_winnow_pairs(spark: SparkSession, sf_dir: str,
+                       max_df: int = WINNOW_MAX_DF,
+                       min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Near-dup candidate pairs from winnowed fingerprints — the MOSS
+    pairing step as a bounded bucket-join: fingerprints appearing in more
+    than ``max_df`` docs are dropped (template/boilerplate runs — the
+    analog of stopword removal, and the bound that keeps every bucket's
+    quadratic expansion <= max_df^2), the rest self-join on the
+    fingerprint, and a pair survives with ``min_shared`` or more shared
+    rare fingerprints. Same scale shape as the MinHash band join
+    (q_doc_minhash_lsh); recall vs that verified truth is pinned in
+    tests/test_winnowing.py."""
+    fps = winnow_fingerprint_rows(_docs(spark, sf_dir))
+    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
+    a = rare.select(F.col("fp"), F.col("doc_id").alias("a"))
+    b = rare.select(F.col("fp"), F.col("doc_id").alias("b"))
+    return (a.join(b, "fp")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("shared_fps"))
+             .filter(F.col("shared_fps") >= min_shared)
+             .orderBy("a", "b"))
+
+
 ROWS_ONLY_QUERIES = {
     "x_doc_winnowing": x_doc_winnowing,
+    "x_doc_winnow_pairs": x_doc_winnow_pairs,
 }
 
 

@@ -57,6 +57,25 @@ def test_density_and_short_inputs():
     assert winnow_fingerprints("abcdefgh").size == 1    # exactly one k-gram
 
 
+def test_winnow_pairs_recall_vs_lsh_truth(spark):
+    """The winnow bucket-join must recover the exact-verified near-dup
+    pairs (minus at most the ultra-boilerplate tail) at its default
+    thresholds, with bounded candidate volume."""
+    import __spark_entry__ as e
+    from grobid_medical_report_spark.operators.dedup import \
+        x_doc_winnow_pairs
+
+    sf = "/root/testdata/sf0.01"
+    truth = {(r.doc_a, r.doc_b)
+             for r in e.queries()["q_doc_minhash_lsh"](spark, sf).collect()}
+    got = {(r.a, r.b) for r in x_doc_winnow_pairs(spark, sf).collect()}
+    assert truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+    # candidate volume stays bucket-bounded, not quadratic (500 docs)
+    assert len(got) < 100
+
+
 def test_spark_winnowing_path(spark):
     import __spark_entry__ as e
 
