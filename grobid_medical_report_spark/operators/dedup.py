@@ -487,7 +487,16 @@ def x_doc_winnow_pairs(spark: SparkSession, sf_dir: str,
     fingerprint, and a pair survives with ``min_shared`` or more shared
     rare fingerprints. Same scale shape as the MinHash band join
     (q_doc_minhash_lsh); recall vs that verified truth is pinned in
-    tests/test_winnowing.py."""
+    tests/test_winnowing.py.
+
+    Measured trade-off (sf0.01, 500 docs, template-heavy corpus): the
+    defaults give recall 0.96 at 33 candidates; driving recall to 1.0
+    requires (max_df=300, min_shared=3) which floods 34k candidates (27%
+    of all pairs) because the last truth pair is similar only through
+    corpus-common phrasing. So for WHOLE-document near-dup, MinHash-LSH
+    banding stays the production path; winnowing earns its place on
+    PARTIAL overlap (quotation/section reuse), which banding over
+    whole-doc signatures cannot see at all."""
     fps = winnow_fingerprint_rows(_docs(spark, sf_dir))
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
