@@ -92,3 +92,48 @@ def test_spark_video_frames_path(spark):
         assert sorted(r.frame_idx for r in rs) == list(range(0, n, 3))
         assert len({r.motion for r in rs}) == 1
         assert all(r.fps == 10 and 0.0 <= r.frame_luma <= 255.0 for r in rs)
+
+
+# ---- property fuzz (hypothesis) ------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 24), st.integers(1, 24),
+           st.integers(0, 2**32 - 1))
+    def test_fuzz_roundtrip_any_video(n, h, w, seed):
+        """Any uncompressed frame stack round-trips pixel-exactly, at any
+        geometry (incl. strides needing row padding)."""
+        rng = np.random.RandomState(seed)
+        f = rng.randint(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        dec, fps = decode_avi(encode_avi(f, fps=12))
+        assert fps == 12
+        assert np.array_equal(dec, f)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400), st.integers(0, 2))
+    def test_fuzz_garbage_never_crashes(data, prefix_kind):
+        """Arbitrary bytes (optionally wearing a RIFF/AVI prefix) either
+        decode or raise MediaFormatError — never an uncontrolled
+        exception."""
+        prefix = [b"", b"RIFF", b"RIFF\x00\x01\x00\x00AVI "][prefix_kind]
+        try:
+            decode_avi(prefix + data)
+        except MediaFormatError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.floats(0.01, 0.99))
+    def test_fuzz_truncation_never_crashes(seed, frac):
+        rng = np.random.RandomState(seed)
+        f = rng.randint(0, 256, size=(3, 8, 8, 3), dtype=np.uint8)
+        avi = encode_avi(f, fps=10)
+        cut = avi[: max(1, int(len(avi) * frac))]
+        try:
+            decode_avi(bytes(cut))
+        except MediaFormatError:
+            pass
+except ImportError:
+    pass

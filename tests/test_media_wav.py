@@ -106,3 +106,49 @@ def test_spark_wav_features_path(spark):
         assert 0.0 <= r.silence_ratio <= 1.0 and r.peak <= 1.0
     # silence head is injected: silence_ratio must reflect it
     assert all(r.silence_ratio >= 0.1 for r in ok)
+
+
+# ---- property fuzz (hypothesis) ------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 4000), st.integers(1, 2), st.integers(0, 2**32 - 1))
+    def test_fuzz_roundtrip_any_pcm(n, ch, seed):
+        """Any int16 PCM signal round-trips losslessly at any length and
+        channel count."""
+        rng = np.random.RandomState(seed)
+        s = rng.randint(-32768, 32768, size=(n, ch)).astype("<i2")
+        x, rate = decode_wav(encode_wav(s, 8000, n_channels=ch))
+        assert rate == 8000 and x.shape == (n, ch)
+        assert np.array_equal(np.round(x * 32768.0).astype("<i2"), s)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=400), st.integers(0, 2))
+    def test_fuzz_garbage_never_crashes(data, prefix_kind):
+        """Arbitrary bytes (optionally wearing a RIFF prefix) either decode
+        or raise MediaFormatError — never an uncontrolled exception."""
+        prefix = [b"", b"RIFF", b"RIFF\x00\x01\x00\x00WAVE"][prefix_kind]
+        try:
+            decode_wav(prefix + data)
+        except MediaFormatError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.floats(0.01, 0.99))
+    def test_fuzz_truncation_never_crashes(seed, frac):
+        """Every truncation point of a valid stream raises MediaFormatError
+        or still decodes (the data chunk tolerates a short tail) — never an
+        uncontrolled exception."""
+        rng = np.random.RandomState(seed)
+        s = (rng.randint(-32768, 32768, size=400)).astype("<i2")
+        wav = encode_wav(s, 8000)
+        cut = wav[: max(1, int(len(wav) * frac))]
+        try:
+            decode_wav(bytes(cut))
+        except MediaFormatError:
+            pass
+except ImportError:
+    pass
