@@ -497,7 +497,13 @@ def x_doc_winnow_pairs(spark: SparkSession, sf_dir: str,
     banding stays the production path; winnowing earns its place on
     PARTIAL overlap (quotation/section reuse), which banding over
     whole-doc signatures cannot see at all."""
-    fps = winnow_fingerprint_rows(_docs(spark, sf_dir))
+    from pyspark.storagelevel import StorageLevel
+
+    # three consumers (df table + both self-join sides): persist, or the
+    # numpy winnowing stage re-runs per branch (three MapInPandas nodes
+    # observed in the unpersisted formatted plan)
+    fps = (winnow_fingerprint_rows(_docs(spark, sf_dir))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
     a = rare.select(F.col("fp"), F.col("doc_id").alias("a"))
