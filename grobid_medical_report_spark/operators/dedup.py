@@ -497,12 +497,19 @@ def x_doc_winnow_pairs(spark: SparkSession, sf_dir: str,
     banding stays the production path; winnowing earns its place on
     PARTIAL overlap (quotation/section reuse), which banding over
     whole-doc signatures cannot see at all."""
+    return winnow_pairs(_docs(spark, sf_dir), max_df, min_shared)
+
+
+def winnow_pairs(d: DataFrame, max_df: int = WINNOW_MAX_DF,
+                 min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """DataFrame-level kernel behind x_doc_winnow_pairs (run_curation's
+    --overlap-report composes it over the curated corpus)."""
     from pyspark.storagelevel import StorageLevel
 
     # three consumers (df table + both self-join sides): persist, or the
     # numpy winnowing stage re-runs per branch (three MapInPandas nodes
     # observed in the unpersisted formatted plan)
-    fps = (winnow_fingerprint_rows(_docs(spark, sf_dir))
+    fps = (winnow_fingerprint_rows(d)
            .persist(StorageLevel.MEMORY_AND_DISK))
     df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")

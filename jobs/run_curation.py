@@ -15,7 +15,12 @@ Chains the curation operators into one shippable job over a documents table
                         perplexity-filter analog, integer-exact)
   5. mix assembly       per-language token-budgeted best-first fill,
                         ranked by the rarity score -> <output>_mix
-  6. outputs            curated corpus parquet + mix parquet + a stats
+  6. overlap report     (--overlap-report) winnowed-fingerprint partial-
+                        overlap pairs over the curated corpus ->
+                        <output>_overlap — quotation/section reuse that
+                        whole-doc near-dup cannot see (kept docs that
+                        share long runs), for provenance review
+  7. outputs            curated corpus parquet + mix parquet + a stats
                         JSON line
 
     spark-submit --py-files engine.zip jobs/run_curation.py \
@@ -45,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--budget-scale", type=float, default=1.0,
                     help="multiplier on the per-language MIX_BUDGETS token "
                          "budgets for the final mix assembly")
+    ap.add_argument("--overlap-report", action="store_true",
+                    help="also write winnowed-fingerprint partial-overlap "
+                         "pairs over the CURATED corpus to <output>_overlap")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -111,6 +119,15 @@ def main(argv: list[str] | None = None) -> int:
                                 F.max("cum_tokens").alias("tokens"))
                            .collect())}
 
+    overlap_stats = None
+    if args.overlap_report:
+        from grobid_medical_report_spark.operators.dedup import winnow_pairs
+
+        overlap = winnow_pairs(curated_df)
+        overlap_out = args.output.rstrip("/") + "_overlap"
+        overlap.write.mode("overwrite").parquet(overlap_out)
+        overlap_stats = spark.read.parquet(overlap_out).count()
+
     n_out = curated_df.count()
     stats = {"docs_in": n_in,
              "exact_dup_removed": n_in - n_exact,
@@ -119,6 +136,8 @@ def main(argv: list[str] | None = None) -> int:
              "docs_out": n_out,
              "kept_fraction": round(n_out / n_in, 4) if n_in else 0.0,
              "mix": mix_stats}
+    if overlap_stats is not None:
+        stats["overlap_pairs"] = overlap_stats
     print(json.dumps(stats))
     spark.stop()
     return 0
