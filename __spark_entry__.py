@@ -401,10 +401,14 @@ def x_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     schema = "doc_a string, doc_b string, jaccard double"
-    try:
+    if os.path.isdir(f"{root}/out"):
+        # select the data columns explicitly: the idempotent writer keys
+        # each micro-batch under out/epoch=N, which surfaces `epoch` as a
+        # partition column on read
         rows = [tuple(r) for r in
-                spark.read.parquet(f"{root}/out").collect()]
-    except Exception:          # no micro-batch produced a verified pair
+                spark.read.parquet(f"{root}/out")
+                     .select("doc_a", "doc_b", "jaccard").collect()]
+    else:                      # no micro-batch produced a verified pair
         rows = []
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
@@ -454,27 +458,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_bold_medics": x_extract_bold_medics,
     }
     # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin a few
-    # long-tail entries that were OUTSIDE the previous round's sampled
+    # long-tail entries that were OUTSIDE every previous round's sampled
     # 50-prefix right behind the extraction oracles, so the driver's gate
-    # re-covers the TPC-H tail over successive rounds. r4 slate: q9, q12,
-    # q21, rollup, cube, the temporal joins and the multimodal scan
-    # (absent from CORRECTNESS_r03.json's sample). q17 joins the slate the
-    # round it was born so the driver gate sees it at least once.
-    from grobid_medical_report_spark.operators import (relational3,
-                                                       relational4)
+    # covers never-sampled entries over successive rounds. r5 slate
+    # (VERDICT r4 next-round item 3): the two oracle-backed curation
+    # queries born outside the r4 sample, plus rows-only entries that have
+    # never had a driver CORRECTNESS row in any round — BPE training,
+    # winnowing pairs (oracle-backed as of r5, golden/n500), the streaming
+    # extract, and the three real-codec media paths (JPEG, WAV, AVI).
     out.update({
-        "q9_product_profit": relational3.QUERIES["q9_product_profit"],
-        "q12_shipping_delay": relational4.QUERIES["q12_shipping_delay"],
-        "q17_small_quantity_revenue":
-            relational4.QUERIES["q17_small_quantity_revenue"],
-        "q21_waiting_suppliers":
-            relational4.QUERIES["q21_waiting_suppliers"],
-        "q_rollup_orders": relational2.QUERIES["q_rollup_orders"],
-        "q_cube_lineitem": relational2.QUERIES["q_cube_lineitem"],
-        "q_asof_error_purchase": temporal.QUERIES["q_asof_error_purchase"],
-        "q_range_join_price_bands":
-            temporal.QUERIES["q_range_join_price_bands"],
-        "q_multimodal_meta": multimodal.QUERIES["q_multimodal_meta"],
+        "q_doc_token_rarity": curation.QUERIES["q_doc_token_rarity"],
+        "q_doc_training_mix": curation.QUERIES["q_doc_training_mix"],
+        "x_doc_winnow_pairs": dedup.ROWS_ONLY_QUERIES["x_doc_winnow_pairs"],
+        "x_bpe_train": bpe.ROWS_ONLY_QUERIES["x_bpe_train"],
+        "x_stream_extract": x_stream_extract,
+        "x_media_jpg_to_png": multimodal.ROWS_ONLY_QUERIES["x_media_jpg_to_png"],
+        "x_media_wav_features":
+            multimodal.ROWS_ONLY_QUERIES["x_media_wav_features"],
+        "x_media_video_frames":
+            multimodal.ROWS_ONLY_QUERIES["x_media_video_frames"],
     })
     for m in _MODULES:
         out.update(m.QUERIES)

@@ -120,19 +120,28 @@ def token_rarity(d: DataFrame) -> DataFrame:
           .groupBy("doc_id", "word")
           .agg(F.count(F.lit(1)).alias("tf"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-    freq = wd.groupBy("word").agg(F.sum("tf").alias("cnt"))
-    total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
-    scored = (wd.join(freq, "word")
-              .join(F.broadcast(total))
-              .withColumn("rar",
-                          F.expr("(total * CAST(10000 AS BIGINT)) div cnt")))
-    return (scored.groupBy("doc_id")
-            .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
-                 F.sum(F.expr("tf * rar")).cast("bigint")
-                  .alias("rarity_sum"))
-            .withColumn("mean_rarity",
-                        F.expr("rarity_sum div n_tokens"))
-            .orderBy("doc_id"))
+    try:
+        freq = wd.groupBy("word").agg(F.sum("tf").alias("cnt"))
+        total = freq.agg(F.sum("cnt").cast("bigint").alias("total"))
+        scored = (wd.join(freq, "word")
+                  .join(F.broadcast(total))
+                  .withColumn("rar",
+                              F.expr("(total * CAST(10000 AS BIGINT))"
+                                     " div cnt")))
+        # eagerly materialize the per-doc result (tiny vs the (doc, word)
+        # aggregate), then release the cached intermediate — without this
+        # the MEMORY_AND_DISK blocks outlive the call and accumulate
+        # executor memory across a 100+-query session (ADVICE r4)
+        return (scored.groupBy("doc_id")
+                .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                     F.sum(F.expr("tf * rar")).cast("bigint")
+                      .alias("rarity_sum"))
+                .withColumn("mean_rarity",
+                            F.expr("rarity_sum div n_tokens"))
+                .orderBy("doc_id")
+                .localCheckpoint(eager=True))
+    finally:
+        wd.unpersist()
 
 
 def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

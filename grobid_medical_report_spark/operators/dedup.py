@@ -295,13 +295,21 @@ def dedup_groups_star(pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
                   .filter(F.col("u") != F.col("v")).distinct()
                   .localCheckpoint())
         # fixpoint: already a star — every edge points at a component min
-        # (no node appears on both sides of the directed edge list)
+        # (no node appears on both sides of the directed edge list) AND
+        # every child has exactly ONE parent. The second clause matters:
+        # on non-monotone-ID paths (e.g. 1-10-3-20-2) a round can leave a
+        # child hooked onto two different candidate minima with no u/v
+        # overlap — stopping there splits one component into two canon
+        # groups and duplicates the child's row (ADVICE r4).
         non_star = (hooked.select(F.col("v").alias("x")).distinct()
                     .join(hooked.select(F.col("u").alias("x")).distinct(),
                           "x").count())
         edges = hooked
         if non_star == 0:
-            break
+            multi_parent = (hooked.groupBy("u").count()
+                            .filter(F.col("count") > 1).count())
+            if multi_parent == 0:
+                break
     else:
         raise RuntimeError(
             f"dedup_groups_star: no fixpoint after {max_rounds} rounds")
@@ -511,16 +519,23 @@ def winnow_pairs(d: DataFrame, max_df: int = WINNOW_MAX_DF,
     # observed in the unpersisted formatted plan)
     fps = (winnow_fingerprint_rows(d)
            .persist(StorageLevel.MEMORY_AND_DISK))
-    df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
-    a = rare.select(F.col("fp"), F.col("doc_id").alias("a"))
-    b = rare.select(F.col("fp"), F.col("doc_id").alias("b"))
-    return (a.join(b, "fp")
-             .filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b")
-             .agg(F.count(F.lit(1)).alias("shared_fps"))
-             .filter(F.col("shared_fps") >= min_shared)
-             .orderBy("a", "b"))
+    try:
+        df_tbl = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        rare = fps.join(df_tbl.filter(F.col("df") <= max_df), "fp")
+        a = rare.select(F.col("fp"), F.col("doc_id").alias("a"))
+        b = rare.select(F.col("fp"), F.col("doc_id").alias("b"))
+        # eager-materialize the (small, min_shared-filtered) pair table,
+        # then drop the cached fingerprint blocks so they don't outlive
+        # the call and pile up across a long session (ADVICE r4)
+        return (a.join(b, "fp")
+                 .filter(F.col("a") < F.col("b"))
+                 .groupBy("a", "b")
+                 .agg(F.count(F.lit(1)).alias("shared_fps"))
+                 .filter(F.col("shared_fps") >= min_shared)
+                 .orderBy("a", "b")
+                 .localCheckpoint(eager=True))
+    finally:
+        fps.unpersist()
 
 
 ROWS_ONLY_QUERIES = {

@@ -297,7 +297,14 @@ def stream_near_dup_candidates(spark: SparkSession, input_dir: str,
                                            - F.col("common")), 4))
                     .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
                     .select("doc_a", "doc_b", "jaccard"))
-        verified.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a micro-batch retried after a
+        # partial write must not append its pairs twice. Epoch-keyed
+        # subdirectory + overwrite makes the write idempotent per epoch —
+        # the retry replaces its own partial output instead of duplicating
+        # it (ADVICE r4). Readers of out_dir see `epoch` as a partition
+        # column and should select (doc_a, doc_b, jaccard).
+        verified.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(_epoch_id)}")
 
     q = (cand.writeStream.foreachBatch(_verify)
          .option("checkpointLocation", checkpoint_dir)

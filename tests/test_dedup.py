@@ -104,3 +104,41 @@ def test_dedup_groups_star_chain_and_equality(spark):
     got2 = {r["doc_id"]: r["canon_id"]
             for r in dedup_groups_from_pairs(short, max_iters=3).collect()}
     assert set(got2.values()) == {"c00"} and len(got2) == 31
+
+
+def test_dedup_groups_star_non_monotone_path(spark):
+    """ADVICE r4 regression: on the non-monotone-ID path 1-10-3-20-2 the
+    old fixpoint test (no node on both sides of the edge list) accepted a
+    state where node 3 kept edges to TWO candidate minima — one component
+    split into two canon groups and doc 3 emitted twice. The tightened
+    fixpoint (each child has exactly one parent) must keep iterating until
+    the true star: every node -> 1, one row per node."""
+    from collections import Counter
+    from grobid_medical_report_spark.operators.dedup import (
+        dedup_groups_from_pairs, dedup_groups_star)
+
+    path = spark.createDataFrame(
+        [(1, 10), (10, 3), (3, 20), (20, 2)],
+        schema="doc_a int, doc_b int")
+    rows = dedup_groups_star(path).collect()
+    counts = Counter(r["doc_id"] for r in rows)
+    assert max(counts.values()) == 1, f"duplicate doc rows: {counts}"
+    assert {r["doc_id"]: r["canon_id"] for r in rows} == {
+        1: 1, 2: 1, 3: 1, 10: 1, 20: 1}
+
+    # and a denser scramble: two components with interleaved, shuffled IDs
+    # — star must agree with min-label propagation exactly
+    import random
+    rng = random.Random(7)
+    ids = list(range(1, 41))
+    rng.shuffle(ids)
+    a, b = ids[:20], ids[20:]
+    edges = ([(a[i], a[i + 1]) for i in range(19)]
+             + [(b[i], b[i + 1]) for i in range(19)])
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, schema="doc_a int, doc_b int")
+    prop = sorted((r["doc_id"], r["canon_id"])
+                  for r in dedup_groups_from_pairs(df, max_iters=50).collect())
+    star = sorted((r["doc_id"], r["canon_id"])
+                  for r in dedup_groups_star(df).collect())
+    assert prop == star

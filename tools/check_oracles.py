@@ -62,17 +62,15 @@ def duck_rows(res):
     return cols, out
 
 
-def main() -> int:
+def run_sweep(spark, sf_dir: str, name_filter: str = "") -> int:
+    """Run every queries() entry and its oracle over ``sf_dir``; return the
+    failure count. Importable so the repo's own gate can run the full sweep
+    as ``pytest -m sweep`` (VERDICT r4 next-round item 8) — the same code
+    path the CLI uses."""
     import duckdb
 
     import __spark_entry__ as entrymod
-    from grobid_medical_report_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
-
-    spark = get_spark("check_oracles")
-    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -122,8 +120,19 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows match [{time.time() - t0:.1f}s]")
         else:
             failures += 1
-    spark.stop()
     print(f"\n{failures} failures")
+    return failures
+
+
+def main() -> int:
+    from grobid_medical_report_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("check_oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = run_sweep(spark, sf_dir, name_filter)
+    spark.stop()
     return 1 if failures else 0
 
 
