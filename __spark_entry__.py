@@ -546,6 +546,19 @@ _X_ORACLES = {
         "expected_org_fields", "doc_id, field, value"),
     "x_extract_address_fields": _golden(
         "expected_address_fields", "doc_id, field, value"),
+    # winnowing partial-overlap pairs (oracle-backed r5): fingerprints are
+    # a pure function of text, so the expected pair set is frozen golden
+    # parquet like the extraction truths — but the winnow query reads the
+    # per-tier `documents` table, so the golden holds one block per corpus
+    # keyed by a content hash and the oracle picks the block matching the
+    # corpus it runs against (tools/make_winnow_golden.py; a drifted
+    # corpus matches no block and fails loudly, never silently)
+    "x_doc_winnow_pairs": (
+        "SELECT a, b, shared_fps "
+        f"FROM read_parquet('{_GOLDEN_DIR}/expected_winnow_pairs.parquet') "
+        "WHERE corpus_md5 = ("
+        "SELECT md5(string_agg(doc_id || chr(31) || text, chr(30) "
+        "ORDER BY doc_id)) FROM documents WHERE doc_id < 500)"),
 }
 
 

@@ -821,19 +821,27 @@ def noise_rng(i: int) -> random.Random:
 
 
 def corrupt_text(text: str, rng: random.Random, noise: float,
-                 spacing: bool = False) -> str:
+                 spacing: bool = False, subs_only: bool = False) -> str:
     """OCR-style corruption: per TOKEN, with probability ``noise``, apply
     one of accent-strip / character substitution / adjacent transpose.
     Token count (and thus token alignment with clean gold tags) is
     preserved unless ``spacing=True``, which additionally allows an
-    inserted mid-token space (line-level evaluation only)."""
+    inserted mid-token space (line-level evaluation only).
+
+    ``subs_only=True`` restricts to the two in-place substitutions (accent
+    strip, OCR char sub) — both map one char to one char of the SAME
+    \\w/punct class, so every char offset AND every regex token span
+    survives corruption (transpose can drag a punctuation char across a
+    \\w boundary: 'né(e)' -> 'n(ée)' re-tokenizes). This is the mode that
+    lets char-offset NER gold ride corrupted text (VERDICT r4 item 2);
+    invariant pinned in tests/test_noise_eval.py."""
     toks = text.split(" ")
     out = []
     for tok in toks:
         if not tok or rng.random() >= noise:
             out.append(tok)
             continue
-        kind = rng.randrange(4 if spacing else 3)
+        kind = rng.randrange(2 if subs_only else (4 if spacing else 3))
         chars = list(tok)
         if kind == 0:      # accent strip (whole token)
             chars = [_ACCENTS.get(c, c) for c in chars]

@@ -504,8 +504,16 @@ def x_doc_winnow_pairs(spark: SparkSession, sf_dir: str,
     corpus-common phrasing. So for WHOLE-document near-dup, MinHash-LSH
     banding stays the production path; winnowing earns its place on
     PARTIAL overlap (quotation/section reuse), which banding over
-    whole-doc signatures cannot see at all."""
-    return winnow_pairs(_docs(spark, sf_dir), max_df, min_shared)
+    whole-doc signatures cannot see at all.
+
+    Oracle-backed as of r5: clamped to the first 500 doc_ids — the golden
+    scale, mirroring the x_extract_* clamp — against the frozen pair
+    table golden/n500/expected_winnow_pairs.parquet (one block per SF
+    tier's corpus, keyed by corpus_md5; tools/make_winnow_golden.py).
+    Full-corpus pairing stays available through the :func:`winnow_pairs`
+    kernel (run_curation --overlap-report)."""
+    return winnow_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 500),
+                        max_df, min_shared)
 
 
 def winnow_pairs(d: DataFrame, max_df: int = WINNOW_MAX_DF,

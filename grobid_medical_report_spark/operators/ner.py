@@ -98,6 +98,73 @@ _LEX_RX_IC = re.compile(_LEX_RX.pattern, re.IGNORECASE)
 
 from functools import lru_cache
 
+# --------------------------------------------------------------------------
+# FUZZY (OCR-folded) candidate scan — FITTED-model-only features (r5).
+#
+# OCR damage (corpus.corrupt_text / real scanners) swaps characters inside
+# confusion classes: o<->0, l/I<->1, e<->c, a<->o, n<->m, u<->v, t<->f,
+# 5<->S, 8<->B, 2<->Z, plus accent strip. `_fold` maps every character to a
+# canonical representative of its confusion class (length-preserving, \w
+# class-preserving), so a lexicon term still MATCHES after any number of
+# in-class substitutions: fold('D0xycycline') == fold('Doxycycline').
+# The fuzzy hits become fb_/fi_ token features the perceptron can weigh —
+# the rules twin (extract_entities_rules) deliberately does not see them,
+# which is what buys the fitted path its margin under corruption
+# (EVAL.md noisy tier; tests/test_noise_eval.py). On clean text every
+# exact hit is also a fuzzy hit (fold is deterministic), so the features
+# are redundant there and training still separates perfectly.
+# --------------------------------------------------------------------------
+
+_FOLD_ACCENTS = {"é": "e", "è": "e", "ê": "e", "ë": "e", "à": "a",
+                 "â": "a", "ô": "o", "î": "i", "ï": "i", "û": "u",
+                 "ù": "u", "ç": "c"}
+_FOLD_CLASSES = {"a": "o", "0": "o", "c": "e", "m": "n", "v": "u",
+                 "f": "t", "l": "i", "1": "i", "5": "s", "8": "b",
+                 "2": "z"}
+_FOLD_TBL = str.maketrans({**_FOLD_ACCENTS, **_FOLD_CLASSES})
+
+
+def _fold(text: str) -> str:
+    """Canonical OCR-confusion fold: lowercase, accent-strip, then map each
+    char to its confusion-class representative. 1 char -> 1 char and \\w
+    stays \\w, so offsets and token boundaries are preserved."""
+    return text.lower().translate(_FOLD_TBL)
+
+
+def _compile_fuzzy_scanner() -> tuple[re.Pattern, dict[str, str]]:
+    term_cat: dict[str, str] = {}
+    for src in (lex.NER_TERM_SETS, lex.NER_EXTRA_TERMS):
+        for cat, terms in src.items():
+            for t in terms:
+                term_cat.setdefault(_fold(t), cat)
+    alternation = "|".join(
+        re.escape(t) for t in sorted(term_cat, key=len, reverse=True))
+    rx = re.compile(rf"(?<![\w])(?:{alternation})(?![\w])")
+    return rx, term_cat
+
+
+_FUZZY_RX, _FUZZY_TERM_CAT = _compile_fuzzy_scanner()
+
+#: date shape tolerant of in-class digit damage: '12/o3/1985' still reads
+#: as a date (at least one true digit required to keep word/word out)
+RE_DATE_FUZZY = re.compile(
+    r"(?<![\w])(?=[oOlIzZsSbB]*\d)[\doOlIzZsSbB]{1,2}/[\doOlIzZsSbB]{1,2}"
+    r"(?:/[\doOlIzZsSbB]{2,4})?(?![\w])")
+
+
+@lru_cache(maxsize=65536)
+def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
+    """(start, end, category) fuzzy hits: folded-lexicon matches over the
+    folded text plus damage-tolerant date shapes. Memoized per worker like
+    the exact path (same boilerplate-repetition argument)."""
+    folded = _fold(text)
+    out = [(m.start(), m.end(), _FUZZY_TERM_CAT[m.group(0)])
+           for m in _FUZZY_RX.finditer(folded)]
+    out += [(m.start(), m.end(), "date")
+            for m in RE_DATE_FUZZY.finditer(text)]
+    out.sort()
+    return tuple(out)
+
 
 def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
     """All entity CANDIDATES of one paragraph text, sort-key inline:
@@ -229,7 +296,10 @@ _NS = {s: i for i, s in enumerate(NER_STATES)}
 RE_TOKEN = re.compile(r"\w+|[^\w\s]")
 
 NER_FEATURES = ("bias", "cap", "digit", "punct") + tuple(
-    f"cb_{t}" for t in NER_TYPES) + tuple(f"ci_{t}" for t in NER_TYPES)
+    f"cb_{t}" for t in NER_TYPES) + tuple(
+    f"ci_{t}" for t in NER_TYPES) + tuple(
+    f"fb_{t}" for t in NER_TYPES) + tuple(
+    f"fi_{t}" for t in NER_TYPES)      # fb_/fi_: FUZZY candidate marks (r5)
 _NF = {f: i for i, f in enumerate(NER_FEATURES)}
 
 NER_MODEL_PATH = os.path.join(
@@ -269,6 +339,15 @@ def token_features(text: str, toks: list[tuple[int, int]],
         j = i0 + 1
         while j < n and toks[j][1] <= e:
             X[j, _NF[f"ci_{cat}"]] = 1.0
+            j += 1
+    for s, e, cat in fuzzy_candidates(text):
+        i0 = starts.get(s)
+        if i0 is None:
+            continue
+        X[i0, _NF[f"fb_{cat}"]] = 1.0
+        j = i0 + 1
+        while j < n and toks[j][1] <= e:
+            X[j, _NF[f"fi_{cat}"]] = 1.0
             j += 1
     return X
 
@@ -395,28 +474,48 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         return []
     WL = (_ner_weights_list() if W is None
           else [list(row) for row in W])
-    # merged candidate intervals, grouping each interval's candidates
-    # inline (cands are start-sorted) — no per-interval rescan
+    # merged candidate intervals over EXACT + FUZZY spans (fuzzy marks are
+    # features the full decode sees, so intervals must cover them for the
+    # pinned hot-path == full-decode equality), grouping each interval's
+    # candidates inline — no per-interval rescan
+    spans = [(c[0], c[3], c, 0) for c in cands]
+    spans += [(s, e, (s, e, cat), 1)
+              for s, e, cat in fuzzy_candidates(text)]
+    spans.sort(key=lambda t: (t[0], t[1]))
     ivs: list[list] = []
-    for c in cands:
-        s, e = c[0], c[3]
+    for s, e, obj, kind in spans:
         if ivs and s <= ivs[-1][1]:
             if e > ivs[-1][1]:
                 ivs[-1][1] = e
-            ivs[-1][2].append(c)
+            ivs[-1][2 + kind].append(obj)
         else:
-            ivs.append([s, e, [c]])
+            ivs.append([s, e, [], []])
+            ivs[-1][2 + kind].append(obj)
     out: list[dict[str, Any]] = []
-    for a, b, seg in ivs:
+    for a, b, seg, fseg in ivs:
         toks = [(m.start(), m.end())
                 for m in RE_TOKEN.finditer(text, a, b)]
         if not toks:
             continue
         n = len(toks)
-        # fast path: ONE candidate (96% of intervals) — the decode outcome
-        # is fully determined by (category, per-token shape codes): the
-        # interval IS the candidate span, so cb fires at token 0 and ci on
-        # the rest, and the feature matrix is a pure function of the shapes
+        tstart = {s: i for i, (s, _e) in enumerate(toks)}
+        # fuzzy per-token feature marks (mirrors token_features exactly)
+        fmarks: list[list[int]] = [[] for _ in toks]
+        fcats: set = set()
+        for s, e, cat in fseg:
+            i0 = tstart.get(s)
+            if i0 is None:
+                continue
+            fcats.add(cat)
+            fmarks[i0].append(_NF[f"fb_{cat}"])
+            j = i0 + 1
+            while j < n and toks[j][1] <= e:
+                fmarks[j].append(_NF[f"fi_{cat}"])
+                j += 1
+        # fast path: ONE exact candidate (96% of intervals) — the decode
+        # outcome is fully determined by (category, per-token shape codes,
+        # fuzzy-mark signature): cb fires at token 0 and ci on the rest,
+        # and the rest of the feature matrix is a pure function of these
         if len(seg) == 1 and W is None:
             cat = seg[0][4]
             shapes = bytes(
@@ -424,7 +523,7 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
                 | (text[s].isdigit() << 1)
                 | ((not text[s].isalnum()) << 2)
                 for s, _e in toks)
-            key1 = (cat, shapes)
+            key1 = (cat, shapes, tuple(map(tuple, fmarks)))
             tags = _SINGLE_CACHE.get(key1)
             if tags is None:
                 X = token_features(text, toks, seg)
@@ -448,9 +547,11 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
                 else:
                     i += 1
             continue
-        # restricted state list: O + (B,I) per category present, ordered by
-        # global state index so tie-breaks replicate argmax-first-index
-        cats = sorted({c[4] for c in seg}, key=lambda t: _NS[f"B-{t}"])
+        # restricted state list: O + (B,I) per category present (exact OR
+        # fuzzy), ordered by global state index so tie-breaks replicate
+        # argmax-first-index
+        cats = sorted({c[4] for c in seg} | fcats,
+                      key=lambda t: _NS[f"B-{t}"])
         states = [0]
         for t in cats:
             states.append(_NS[f"B-{t}"])
@@ -459,7 +560,6 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         is_i = [NER_STATES[s].startswith("I-") for s in states]
         # active feature ids per token
         feats: list[list[int]] = []
-        tstart = {s: i for i, (s, _e) in enumerate(toks)}
         for s, e in toks:
             ch = text[s]
             f = [_IB]
@@ -479,6 +579,8 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
             while j < n and toks[j][1] <= e:
                 feats[j].append(_NF[f"ci_{cat}"])
                 j += 1
+        for i in range(n):
+            feats[i].extend(fmarks[i])
         # decode memo: the DP outcome depends only on (states, per-token
         # feature sets) — and those signatures repeat massively across
         # segments (every date shares one shape, every "Dr X" another), so

@@ -67,3 +67,43 @@ def test_harness_detects_lobotomized_model():
     assert fitted == 1.0
     assert broken < 0.5, broken
     assert fitted - broken > 0.4
+
+
+def test_corruption_offset_preserving():
+    """The substitution-only mode (subs_only=True) must preserve EVERY char
+    position: equal length, whitespace untouched, and \\w+|[^\\w\\s] token
+    spans identical — the invariant that lets the char-offset NER gold ride
+    corrupted text (VERDICT r4 item 2). The default 3-op mode does NOT
+    qualify: transpose can drag punctuation across a \\w boundary
+    ('né(e)' -> 'n(ée)'), which is exactly why the mode exists."""
+    from grobid_medical_report_spark.operators import ner
+
+    samples = [
+        "Prescription de Doxycycline 100 mg, à prendre 2 fois/jour.",
+        "Madame Abba Voletta DUPONT, né(e) le 12/03/1985 à DIJON",
+        "Scanner thoraco-abdomino-pelvien : lésion du lobe supérieur",
+        "Pôle Imagerie - SERVICE DE RADIOLOGIE (étage 3)",
+    ]
+    changed = 0
+    for t, text in enumerate(samples):
+        for trial in range(15):
+            ct = corrupt_text(text, noise_rng(1000 * t + trial), 0.9,
+                              subs_only=True)
+            changed += ct != text
+            assert len(ct) == len(text)
+            assert [i for i, c in enumerate(ct) if c.isspace()] == \
+                   [i for i, c in enumerate(text) if c.isspace()]
+            assert ner.tokenize(ct) == ner.tokenize(text)
+    assert changed > 40                     # the mode still corrupts
+
+
+def test_noisy_ner_discriminates_and_fitted_beats_rules():
+    """fr-medical-ner joins the noisy tier (r5): offset-preserving
+    corruption keeps the clean BIO gold valid, the fitted tagger degrades
+    below 1.0 (lexicon candidates stop matching), and it never falls below
+    the rules twin scored on the same corrupted decisions."""
+    r = ev.eval_split("fr-medical-ner", n_docs=120, noise=NOISE)
+    assert r["noise"] == NOISE
+    assert r["n_decisions"] > 500
+    assert r["micro_accuracy"] < 1.0                 # discriminates
+    assert r["micro_accuracy"] >= r["rules_micro_accuracy"]

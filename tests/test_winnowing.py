@@ -90,3 +90,37 @@ def test_spark_winnowing_path(spark):
         assert r.n_fingerprints == sel.size
         assert r.fp_digest == hashlib.md5(sel.tobytes()).hexdigest()
         assert r.min_fingerprint == (int(sel[0]) if sel.size else -1)
+
+
+def test_winnow_pairs_golden_matches(spark):
+    """Drift guard for golden/n500/expected_winnow_pairs.parquet (the
+    x_doc_winnow_pairs value oracle, r5): the committed pair blocks for
+    sf0.001 and sf0.01 must equal what the Spark query computes today, and
+    every tier's block must be keyed and non-trivially present. Regenerate
+    with tools/make_winnow_golden.py after any fingerprinting change."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from grobid_medical_report_spark.operators.dedup import x_doc_winnow_pairs
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", "n500",
+        "expected_winnow_pairs.parquet")
+    golden = pq.read_table(path).to_pydict()
+    by_key = {}
+    for key, a, b, n in zip(golden["corpus_md5"], golden["a"],
+                            golden["b"], golden["shared_fps"]):
+        by_key.setdefault(key, set()).add((a, b, n))
+    assert len(by_key) == 3          # one block per SF tier corpus
+    import duckdb
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        key = duckdb.sql(
+            "SELECT md5(string_agg(doc_id || chr(31) || text, chr(30) "
+            "ORDER BY doc_id)) FROM "
+            f"read_parquet('{sf}/documents.parquet') WHERE doc_id < 500"
+        ).fetchone()[0]
+        assert key in by_key, f"no golden block for {sf}"
+        got = {(r.a, r.b, r.shared_fps)
+               for r in x_doc_winnow_pairs(spark, sf).collect()}
+        assert got == by_key[key], sf

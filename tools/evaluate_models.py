@@ -188,8 +188,12 @@ FAMILIES = {
 # clean truth (line labels survive corruption; token taggers use
 # token-preserving corruption so clean gold tags map 1:1), models are
 # trained on CLEAN docs, and both the FITTED path and the RULES twin are
-# scored on the same corrupted decisions. fr-medical-ner is excluded:
-# its gold is entity char offsets, which corruption invalidates.
+# scored on the same corrupted decisions. fr-medical-ner rides the
+# OFFSET-PRESERVING mode (r5, VERDICT r4 item 2): with subs_only=True every
+# corruption op maps one char to one char of the SAME \w/punct class and
+# never touches whitespace, so char positions — and hence the gold and the
+# \w+|[^\w\s] token spans — survive corruption unchanged (invariant pinned
+# by tests/test_noise_eval.py::test_corruption_offset_preserving).
 # ---------------------------------------------------------------------------
 
 from grobid_medical_report_spark import corpus as _corpus  # noqa: E402
@@ -279,10 +283,54 @@ def _noisy_sub(model, lo, hi, noise):
     return data, rule_pairs
 
 
+def _noisy_ner(lo, hi, noise):
+    """Offset-preserving corruption for the 41-state NER tagger: the clean
+    gold BIO path (from entity char offsets) stays valid because the
+    substitution-only mode (spacing=False) preserves every char position;
+    features and the rules twin both run on the corrupted text, where
+    lexicon candidates stop matching — the degradation axis."""
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        nrng = _corpus.noise_rng(i)
+        for text, ents in tn.corpus_examples(i, i + 1):
+            if ner._shortcut(text) is not None:
+                continue
+            toks = ner.tokenize(text)
+            cands = ner.candidates(text)
+            if not toks or not cands:
+                continue
+            gold = tn.gold_path(text, toks, ents)
+            if gold is None:
+                continue
+            ct = _corpus.corrupt_text(text, nrng, noise, subs_only=True)
+            ctoks = ner.tokenize(ct)
+            assert ctoks == toks, (
+                "offset-preserving corruption changed token spans")
+            X = ner.token_features(ct, ctoks, ner.candidates(ct))
+            data.append((X, gold))
+            # rules twin on the same corrupted text; entities it places on
+            # non-token-aligned spans count as misses, as they should
+            starts = {s: k for k, (s, _e) in enumerate(toks)}
+            ends = {e: k for k, (_s, e) in enumerate(toks)}
+            rpath = ["O"] * len(toks)
+            for ent in ner.extract_entities_rules(ct):
+                i0, i1 = starts.get(ent["start"]), ends.get(ent["end"])
+                if i0 is None or i1 is None:
+                    continue
+                rpath[i0] = f"B-{ent['type']}"
+                for k in range(i0 + 1, i1 + 1):
+                    rpath[k] = f"I-{ent['type']}"
+            rule_pairs.extend(
+                zip((ner.NER_STATES[g] for g in gold), rpath))
+    return data, rule_pairs
+
+
 def noisy_examples(model: str, lo: int, hi: int, noise: float):
     """(fitted eval data, [(gold, rule_pred)]) on corrupted held-out docs."""
     if model == "medical-report-segmenter":
         return _noisy_seg(lo, hi, noise)
+    if model == "fr-medical-ner":
+        return _noisy_ner(lo, hi, noise)
     if model == "full-medical-text":
         return _noisy_body(lo, hi, noise)
     if model == "header-medical-report":
@@ -355,13 +403,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--split", type=float, default=0.8)
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--noise", type=float, default=0.0,
-                    help="OCR-corrupt the held-out docs (split mode); "
-                         "fr-medical-ner is skipped at noise>0")
+                    help="OCR-corrupt the held-out docs (split mode)")
     ap.add_argument("--models", default=",".join(FAMILIES))
     args = ap.parse_args(argv)
     for model in args.models.split(","):
-        if args.noise > 0.0 and model == "fr-medical-ner":
-            continue               # gold = char offsets; see noisy_examples
         if args.mode == "split":
             r = eval_split(model, args.n_docs, args.split, args.noise)
         else:
