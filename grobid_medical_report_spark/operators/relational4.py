@@ -151,9 +151,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            * 0.5)
     return (l.withColumn("lim", lim)
              .filter(F.col("l_quantity") < F.col("lim"))
-             .agg(F.round(
-                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                   .cast("double") / 7.0, 2).alias("avg_yearly"),
+             .agg(F.coalesce(
+                  F.round(
+                      F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                       .cast("double") / 7.0, 2),
+                  F.lit(-1.0)).alias("avg_yearly"),
                   F.count(F.lit(1)).alias("n_small_lines")))
 
 
@@ -266,8 +268,10 @@ ORACLES: dict[str, str] = {
               FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM sel)),
         lim AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS lim
                 FROM l GROUP BY l_partkey)
-        SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+        SELECT CAST(coalesce(
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 2), -1.0)
+                    AS DOUBLE) AS avg_yearly,
                CAST(count(*) AS BIGINT) AS n_small_lines
         FROM l JOIN lim USING (l_partkey)
         WHERE l_quantity < lim.lim

@@ -188,13 +188,32 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
 NEAR_DUP_OUT_SCHEMA = ("doc_id string, dup_of string, band int, "
                        "est_jaccard double")
 _ND_STATE_SCHEMA = "doc_ids array<string>, sigs array<string>"
-#: bounded state: near-dup clusters are tiny by the r=2 band construction;
-#: a pathological hot bucket keeps only the first N arrivals as references
+#: bounded state, axis 1 — WITHIN a bucket: near-dup clusters are tiny by
+#: the r=2 band construction; a pathological hot bucket keeps only the
+#: first N arrivals as references
 ND_STATE_CAP = 32
+#: bounded state, axis 2 — ACROSS buckets (VERDICT r4 item 7): every doc
+#: touches n_bands bucket keys, so without eviction the state store grows
+#: O(stream length) forever. Arrivals are stamped with an INGEST timestamp
+#: and the stream watermarked on it; a bucket whose last arrival the
+#: watermark has passed by more than this TTL is dropped via
+#: EventTimeTimeout (ProcessingTimeTimeout is unusable here: with the
+#: availableNow trigger it spins empty micro-batches waiting for
+#: wall-clock timeouts — same pitfall the sessionizer documents). The
+#: documented trade-off is the standard streaming-dedup horizon: a pair
+#: is detected iff the later copy arrives within the TTL of the earlier
+#: one's bucket entry; eviction lags the TTL by one micro-batch because
+#: the watermark advances on data. Default 24 h >> any test/gate window,
+#: so pair-set equality vs batch is unaffected there
+#: (test_stream_near_dup_batch_equal); the bounded-plateau behavior is
+#: pinned with a short TTL in test_stateful_streaming.py.
+ND_STATE_TTL_MS = 24 * 3600 * 1000
 
 
 def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
-                     state: GroupState) -> Iterator["pd.DataFrame"]:
+                     state: GroupState,
+                     ttl_ms: int = ND_STATE_TTL_MS,
+                     ) -> Iterator["pd.DataFrame"]:
     """Keyed by (band, h1, h2): every new arrival emits one CANDIDATE row
     per stored reference doc in its bucket — exactly the batch LSH's
     co-bucket candidate generation, no signature-estimate pre-filter (the
@@ -205,14 +224,18 @@ def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
     import pandas as pd
 
     band = int(key[0])
-    if state.hasTimedOut:      # no timeout configured; defensive
+    if state.hasTimedOut:      # bucket idle past the TTL horizon: evict
         state.remove()
         yield pd.DataFrame(columns=["doc_id", "dup_of", "band",
                                     "est_jaccard"])
         return
     arrivals: list[tuple[str, str]] = []
+    ts_max = None
     for pdf in pdfs:
         arrivals += list(zip(pdf["doc_id"], pdf["sig"]))
+        if "ts" in pdf.columns and len(pdf):
+            m = pdf["ts"].max()
+            ts_max = m if ts_max is None else max(ts_max, m)
     arrivals.sort()
     if state.exists:
         doc_ids, sigs = state.get
@@ -235,12 +258,18 @@ def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
             doc_ids.append(did)
             sigs.append(sig)
     state.update((doc_ids, sigs))
+    # arm/refresh the idle-eviction clock: any arrival keeps the bucket
+    # alive until the watermark passes its ingest time + TTL; a bucket
+    # nothing hashes into is dropped on a later micro-batch's timeout pass
+    if ts_max is not None:
+        state.setTimeoutTimestamp(int(ts_max.timestamp() * 1000) + ttl_ms)
     yield pd.DataFrame(out, columns=["doc_id", "dup_of", "band",
                                      "est_jaccard"])
 
 
 def stream_near_dup_candidates(spark: SparkSession, input_dir: str,
-                               out_dir: str, checkpoint_dir: str):
+                               out_dir: str, checkpoint_dir: str,
+                               state_ttl_ms: int = ND_STATE_TTL_MS):
     """Continuous near-duplicate detection over a (doc_id, text) stream,
     BATCH-EQUAL by construction: banded minhash signatures (the same
     column-expression family as the batch q_doc_minhash_lsh), per-bucket
@@ -263,13 +292,24 @@ def stream_near_dup_candidates(spark: SparkSession, input_dir: str,
     src = (spark.readStream
            .schema("doc_id string, text string")
            .parquet(input_dir))
-    bands = minhash_band_rows(_shingle_arrays(src))
+    # ingest timestamp + watermark drive bucket eviction: EventTimeTimeout
+    # fires when the (data-driven) watermark passes a bucket's last ingest
+    # time + TTL, and — unlike ProcessingTimeTimeout — terminates cleanly
+    # under the availableNow trigger instead of spinning empty batches
+    bands = (minhash_band_rows(_shingle_arrays(src))
+             .withColumn("ts", F.current_timestamp())
+             .withWatermark("ts", "0 seconds"))
+
+    # closure (pickled by value) so the TTL reaches the Python workers
+    def bucket_fn(key, pdfs, state, _ttl=state_ttl_ms):
+        return _near_dup_bucket(key, pdfs, state, _ttl)
+
     cand = (bands.groupBy("band", "h1", "h2")
             .applyInPandasWithState(
-                _near_dup_bucket, outputStructType=NEAR_DUP_OUT_SCHEMA,
+                bucket_fn, outputStructType=NEAR_DUP_OUT_SCHEMA,
                 stateStructType=_ND_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
     def _verify(batch_df, _epoch_id):
         # canonical pair orientation + cross-band dedup (a pair colliding

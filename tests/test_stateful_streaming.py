@@ -123,3 +123,44 @@ def test_stream_near_dup_batch_equal(spark, tmp_path):
         sorted(set(truth) - set(flagged)), sorted(set(flagged) - set(truth)))
     for pair, j in truth.items():
         assert flagged[pair] == j, (pair, flagged[pair], j)
+
+
+def test_stream_near_dup_state_plateaus(spark, tmp_path):
+    """Bucket-state eviction (VERDICT r4 item 7): the near-dup state store
+    must NOT grow one entry per distinct bucket key forever. With a short
+    processing-time TTL, three rounds of equal-sized, disjoint doc batches
+    (sleeping past the TTL between rounds) must end with roughly ONE
+    round's worth of live state — idle buckets from earlier rounds are
+    evicted — where the unbounded version would hold all three rounds."""
+    import time
+
+    from grobid_medical_report_spark.streaming.stateful import \
+        stream_near_dup_candidates
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(round_no):
+        rows = [(f"r{round_no}_d{i:03d}",
+                 " ".join(f"w{round_no}x{i}y{j}" for j in range(12)))
+                for i in range(25)]
+        (spark.createDataFrame(rows, "doc_id string, text string")
+         .coalesce(1).write.mode("append").parquet(inp))
+
+    totals = []
+    for rnd in range(4):
+        if rnd:
+            time.sleep(2.5)            # > TTL: earlier buckets go idle
+        batch(rnd)
+        q = stream_near_dup_candidates(spark, inp, out, ckpt,
+                                       state_ttl_ms=1500)
+        prog = q.lastProgress
+        assert prog is not None
+        totals.append(prog["stateOperators"][0]["numRowsTotal"])
+    assert totals[0] > 0
+    # plateau: eviction lags one micro-batch (the watermark entering round
+    # N is round N-1's ingest time), so live state holds ~2 rounds' worth
+    # of buckets — NOT the 4-round sum the unbounded version accumulates
+    assert totals[3] < 3 * totals[0], totals
+    assert totals[3] <= totals[2] + totals[0] // 2, totals
