@@ -881,6 +881,124 @@ INPUT_SCHEMA_LAYOUT = (
 )
 
 
+# --------------------------------------------------------------------------
+# FORMAT-SHIFT family "B" (r5, VERDICT r4 next-round item 1): a second
+# document grammar for the generalization tier of the evaluation harness.
+# Family B is a LABEL-AWARE post-transform of a family-A doc — the kind of
+# variance between two real hospitals: reordered header/letterhead blocks,
+# alternate field spellings/separators, different pagination and heading
+# styles. Because every rewrite is keyed on the line's TRUE (label, field),
+# the gold labels remain authoritative; the surface form the models see is
+# one they never trained on. The transform draws from its own seeded
+# stream, so the family-A corpus stays byte-stable. EVAL.md format-shift
+# tier trains on A and scores B; tests/test_format_shift.py pins it.
+# --------------------------------------------------------------------------
+
+_SEX_WORD = {"F": "Sexe féminin", "M": "Sexe masculin"}
+
+
+def _shift_line(t: str, lab: str, fld: str, counters: dict) -> str:
+    """Family-B surface form of one line, given its truth (label, field)."""
+    import re as _re
+    if fld == "docnum" and t.startswith("N°"):
+        return "Dossier n° " + t[2:].strip()
+    if fld == "doctype":
+        return t.capitalize()
+    if fld == "dateline":
+        m = _re.fullmatch(
+            r"([A-ZÀ-ÖØ-Þ ]+), le (\d{1,2}/\d{1,2}/\d{2,4})"
+            r"(?:, à (\d{1,2}h\d{2}))?", t)
+        if m:
+            out = f"Fait à {m.group(1)} le {m.group(2)}"
+            if m.group(3):
+                out += f" ({m.group(3)})"
+            return out
+    if fld == "sex":
+        m = _re.fullmatch(r"Sexe ?: ?([FM])", t)
+        if m:
+            return _SEX_WORD[m.group(1)]
+    if fld == "idno" and t.startswith("IPP"):
+        return "Identifiant patient " + t.split(":", 1)[1].strip()
+    if fld == "age":
+        return "Âge : " + t
+    if fld == "medic":
+        return "Praticien : " + t
+    if fld == "patient":
+        return "Patient(e) : " + t
+    if fld == "birthdate" and t.startswith("Né(e) le"):
+        return "Date de naissance : " + t[len("Né(e) le"):].strip()
+    if fld == "patient_address" and t.startswith("Demeurant"):
+        return "Adresse : " + t.split(":", 1)[1].strip()
+    if fld == "org":
+        if t.startswith("SERVICE DE "):
+            return "Service de " + t[len("SERVICE DE "):].title()
+        if t.startswith("Pôle "):
+            return t.upper()
+        return t
+    if fld == "phone" and t.startswith("Tél"):
+        return "Téléphone : " + t.split(":", 1)[1].strip()
+    if fld == "fax" and t.startswith("Fax"):
+        return "Télécopie : " + t.split(":", 1)[1].strip()
+    if fld == "contact" and t.startswith("Tél"):
+        m = _re.fullmatch(r"Tél ?: (.+) - Fax ?: (.+)", t)
+        if m:
+            return f"Téléphone {m.group(1)} / Télécopie {m.group(2)}"
+    if fld == "address_pc":
+        return "F-" + t
+    if fld == "address_street":
+        return t.replace(",", "", 1)
+    if lab == "page":
+        m = _re.fullmatch(r"(\d+)\s*/\s*(\d+)", t)
+        if m:
+            return f"Page {m.group(1)} sur {m.group(2)}"
+    if lab == "headnote":
+        m = _re.fullmatch(r"CHU ([A-ZÀ-ÖØ-Þ ]+) - (Service de .+)", t)
+        if m:
+            return f"{m.group(2)} — CHU {m.group(1)}"
+    if lab == "footnote":
+        return t.replace(" - ", " • ")
+    if lab == "section" and t.endswith(" :"):
+        counters["sec"] = counters.get("sec", 0) + 1
+        return f"{counters['sec']}. {t[:-2]}"
+    if lab == "item" and t.startswith("- "):
+        return "• " + t[2:]
+    return t
+
+
+def shift_format(d: dict, i: int) -> dict:
+    """Family-B twin of a generated doc: same keys, same gold labels/fields,
+    reshaped surface text + rotated header/letterhead blocks."""
+    rng = random.Random(((SEED ^ 0x0F0F) << 32) ^ i)
+    labels = list(d["line_labels"])
+    fields = list(d["line_fields"])
+    spans = [dict(sp) for sp in d["spans"]]
+    counters: dict = {}
+    for j, sp in enumerate(spans):
+        if sp.get("kind") == "media":
+            continue
+        sp["text"] = _shift_line(sp["text"], labels[j], fields[j], counters)
+
+    def _rotate(zone: str) -> None:
+        idx = [j for j, lab in enumerate(labels)
+               if ZONE_OF.get(lab) == zone and spans[j].get("kind") != "media"]
+        if len(idx) >= 3:
+            k = rng.randrange(1, len(idx))
+            order = idx[k:] + idx[:k]
+            new_spans = [spans[j] for j in order]
+            new_fields = [fields[j] for j in order]
+            for j, sp, fl in zip(idx, new_spans, new_fields):
+                spans[j] = sp
+                fields[j] = fl
+
+    _rotate("header")
+    _rotate("leftnote")
+    out = dict(d)
+    out["spans"] = spans
+    out["line_labels"] = labels
+    out["line_fields"] = fields
+    return out
+
+
 def corpus_df(spark, n_docs: int, partitions: int | None = None,
               layout: bool = False):
     """Input table ``(doc_id, spans)`` generated distributed via mapInPandas.

@@ -74,3 +74,34 @@ def punctuation_profile(s: str) -> str:
     (reference: TextUtilities.punctuationProfile, used at
     MedicalReportSegmenterParser.java:448)."""
     return "".join(ch for ch in s if ch in _PUNCT)
+
+
+# --------------------------------------------------------------------------
+# OCR-confusion fold (r5): canonical representative per confusion class.
+# Scanned text swaps characters within classes (o<->0, l/I<->1, e<->c,
+# a<->o, n<->m, u<->v, t<->f, 5<->S, 8<->B, 2<->Z, accents); folding both
+# a keyword and the text makes the keyword match through any number of
+# in-class substitutions: ocr_fold('D0xycyc1ine') == ocr_fold('Doxycycline').
+# 1 char -> 1 char and \w stays \w, so offsets and token spans survive.
+# Shared by the NER fuzzy-candidate scan and the damage-tolerant line
+# features of the segmenter/header/leftnote models (EVAL.md noisy tier).
+# --------------------------------------------------------------------------
+
+_OCR_FOLD_ACCENTS = {"é": "e", "è": "e", "ê": "e", "ë": "e", "à": "a",
+                     "â": "a", "ô": "o", "î": "i", "ï": "i", "û": "u",
+                     "ù": "u", "ç": "c"}
+_OCR_FOLD_CLASSES = {"a": "o", "0": "o", "c": "e", "m": "n", "v": "u",
+                     "f": "t", "l": "i", "1": "i", "5": "s", "8": "b",
+                     "2": "z"}
+# accent strip must CHAIN into the class map ('à' -> 'a' -> 'o'): an
+# accent-stripped char must land on the same representative as its
+# corrupted twin, or fold('à') != fold(corrupt('à'))
+_OCR_FOLD_TBL = str.maketrans({
+    **{k: _OCR_FOLD_CLASSES.get(v, v) for k, v in _OCR_FOLD_ACCENTS.items()},
+    **_OCR_FOLD_CLASSES})
+
+
+def ocr_fold(text: str) -> str:
+    """Lowercase, accent-strip, then map every char to its OCR-confusion
+    class representative (length-preserving)."""
+    return text.lower().translate(_OCR_FOLD_TBL)

@@ -17,7 +17,7 @@ import re
 from typing import Any
 
 from ..functions.dates import parse_date_iso
-from ..functions.textnorm import merge_field, normalize_space
+from ..functions.textnorm import merge_field, normalize_space, ocr_fold
 from .segmenter import (RE_AGE, RE_BIRTH, RE_DATELINE, RE_DOCNUM, RE_DOCTYPE,
                         RE_IDNO, RE_MEDIC_LINE, RE_PADDR, RE_PATIENT_NAME,
                         RE_SEX)
@@ -71,13 +71,25 @@ HEADER_LABELS = ("docnum", "dateline", "medic", "idno", "sex", "patient",
                  "birthdate", "age", "patient_address", "doctype", "note")
 HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
                    "r_sex", "r_patient", "r_birth", "r_age", "r_paddr",
-                   "r_doctype", "largest_font")
+                   "r_doctype", "largest_font",
+                   # r5 damage-tolerant twins: keyword/shape evidence on
+                   # OCR-folded text that survives the substitutions which
+                   # break the exact fullmatch patterns (EVAL.md noisy
+                   # tier: docnum precision 0.41 came from corrupted lines
+                   # collapsing to bias-only vectors)
+                   "f_numsign", "f_ipp", "f_sex", "f_birth", "f_age",
+                   "f_paddr", "f_patient", "f_medic", "f_dateline",
+                   "f_mostly_upper")
 _HL = {b: i for i, b in enumerate(HEADER_LABELS)}
 _HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
 
 HEADER_MODEL_PATH = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "models", "header_model.json")
+
+
+#: folded '<n> ans' — digits without a confusion twin stay digits
+_RE_AGE_F = re.compile(r"[0-9oizsb]{1,3} ons")
 
 
 def header_line_features(t: str, largest: bool = False) -> list[int]:
@@ -104,6 +116,32 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
         f.append(_HF["r_doctype"])
     if largest:
         f.append(_HF["largest_font"])
+    # damage-tolerant evidence (folded keywords / raw robust chars) — 'N°'
+    # and '@'/'/' are outside every OCR confusion class, folded keywords
+    # match through in-class substitutions
+    ft = ocr_fold(t)
+    if t.startswith("N°"):
+        f.append(_HF["f_numsign"])
+    if ft.startswith("ipp"):
+        f.append(_HF["f_ipp"])
+    if ft.startswith("sexe"):
+        f.append(_HF["f_sex"])
+    if ft.startswith("ne(e) ie"):
+        f.append(_HF["f_birth"])
+    if _RE_AGE_F.fullmatch(ft):
+        f.append(_HF["f_age"])
+    if ft.startswith("deneuront"):
+        f.append(_HF["f_paddr"])
+    if ft.startswith(("nodone ", "nonsieur ")):
+        f.append(_HF["f_patient"])
+    if ft.startswith(("dr ", "dr. ", "doeteur ", "pr ", "pr. ")) \
+            and "," in t:
+        f.append(_HF["f_medic"])
+    if ", ie " in ft and "/" in t:
+        f.append(_HF["f_dateline"])
+    alpha = [c for c in t if c.isalpha()]
+    if len(alpha) >= 8 and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha):
+        f.append(_HF["f_mostly_upper"])
     return f
 
 

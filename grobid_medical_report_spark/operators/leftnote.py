@@ -10,9 +10,10 @@ space-joined affiliation style (see fixture processLeftNoteFromPDF.xml.xml:
 
 from __future__ import annotations
 
+import re as _re
 from typing import Any
 
-from ..functions.textnorm import normalize_space
+from ..functions.textnorm import normalize_space, ocr_fold
 from .segmenter import (RE_ADDR_MORE, RE_CONTACT, RE_EMAIL, RE_FAX,
                         RE_ORG_INST, RE_POLE, RE_POSTCODE, RE_SERVICE,
                         RE_STAFF_NAME, RE_STAFF_ORG_PHONE, RE_STAFF_ROLE,
@@ -48,7 +49,14 @@ LEFTNOTE_FEATURES = ("bias", "r_pole", "r_service", "r_tel", "r_fax",
                      "r_staff_org_phone", "r_staff_role_name",
                      "r_staff_name", "r_staff_role", "r_postcode",
                      "r_street", "r_org_inst", "r_addr_more", "r_contact",
-                     "r_web", "r_email")
+                     "r_web", "r_email",
+                     # r5 damage-tolerant twins on OCR-folded text — the
+                     # noisy tier's web 0.29 F1 came from corrupted lines
+                     # collapsing to bias-only vectors, which the model
+                     # dumped into low-support labels
+                     "f_org_kw", "f_tel", "f_fax", "f_contact", "f_web",
+                     "f_email", "f_street", "f_postcode", "f_addr_more",
+                     "f_staff_kw")
 _LL = {b: i for i, b in enumerate(LEFTNOTE_LABELS)}
 _LF = {f: i for i, f in enumerate(LEFTNOTE_FEATURES)}
 
@@ -67,11 +75,44 @@ _RX_FEATS = (
 )
 
 
+#: folded keyword probes (see textnorm.ocr_fold): each literal is the fold
+#: of the clean keyword, so it matches clean AND substitution-damaged text
+_F_ORG_KW = ("ehu", "ghu", "dnu", "poie ", "seruiee", "hopitoi",
+             "uniuersite", "institut", "eentre", "site ", "unite",
+             "deportenent", "ossoeiotion")
+_F_ADDR_KW = ("botinent", "inneubie", "bp ", "quortier", "eonnune")
+_F_STAFF_KW = ("kinesitheropeute", "soge-tenne", "intirniere",
+               "seeretoriot")
+_RE_STREET_F = _re.compile(r"^[0-9oizsb]{1,4}, ")
+_RE_POSTCODE_F = _re.compile(r"^[0-9oizsb]{5} ")
+
+
 def leftnote_line_features(t: str) -> list[int]:
     f = [_LF["bias"]]
     for rx, name in _RX_FEATS:
         if rx.fullmatch(t):
             f.append(_LF[name])
+    ft = ocr_fold(t)
+    if ft.startswith(_F_ORG_KW):
+        f.append(_LF["f_org_kw"])
+    if ft.startswith("tei"):
+        f.append(_LF["f_tel"])
+    if ft.startswith("tox"):
+        f.append(_LF["f_fax"])
+    if ft.startswith("tei") and " - tox" in ft:
+        f.append(_LF["f_contact"])
+    if "www" in ft or "http" in ft or ft.endswith((".tr", ".eon", ".net")):
+        f.append(_LF["f_web"])
+    if "@" in t:                      # '@' has no confusion twin
+        f.append(_LF["f_email"])
+    if _RE_STREET_F.match(ft):
+        f.append(_LF["f_street"])
+    if _RE_POSTCODE_F.match(ft):
+        f.append(_LF["f_postcode"])
+    if ft.startswith(_F_ADDR_KW):
+        f.append(_LF["f_addr_more"])
+    if ft.startswith(_F_STAFF_KW):
+        f.append(_LF["f_staff_kw"])
     return f
 
 

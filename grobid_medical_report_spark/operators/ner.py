@@ -115,20 +115,7 @@ from functools import lru_cache
 # are redundant there and training still separates perfectly.
 # --------------------------------------------------------------------------
 
-_FOLD_ACCENTS = {"é": "e", "è": "e", "ê": "e", "ë": "e", "à": "a",
-                 "â": "a", "ô": "o", "î": "i", "ï": "i", "û": "u",
-                 "ù": "u", "ç": "c"}
-_FOLD_CLASSES = {"a": "o", "0": "o", "c": "e", "m": "n", "v": "u",
-                 "f": "t", "l": "i", "1": "i", "5": "s", "8": "b",
-                 "2": "z"}
-_FOLD_TBL = str.maketrans({**_FOLD_ACCENTS, **_FOLD_CLASSES})
-
-
-def _fold(text: str) -> str:
-    """Canonical OCR-confusion fold: lowercase, accent-strip, then map each
-    char to its confusion-class representative. 1 char -> 1 char and \\w
-    stays \\w, so offsets and token boundaries are preserved."""
-    return text.lower().translate(_FOLD_TBL)
+from ..functions.textnorm import ocr_fold as _fold  # shared fold (textnorm)
 
 
 def _compile_fuzzy_scanner() -> tuple[re.Pattern, dict[str, str]]:

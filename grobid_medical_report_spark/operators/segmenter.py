@@ -30,6 +30,8 @@ from functools import lru_cache
 
 import numpy as np
 
+from ..functions.textnorm import ocr_fold
+
 #: decode states use B-I encoding for annex (the analog of the reference's
 #: `I-<label>` begin markers consumed by TaggingTokenClusteror): annex_i is
 #: only reachable from annex_b/annex_i, so an annex run can start only at an
@@ -116,6 +118,30 @@ def _main_kind(t: str) -> str | None:
     """Memoized RE_MAIN classification (pure; boilerplate lines repeat —
     headnote/footnote/page lines especially, by construction)."""
     m = RE_MAIN.match(t)
+    return m.lastgroup if m else None
+
+
+#: RE_MAIN translated onto OCR-FOLDED text (textnorm.ocr_fold): literals
+#: folded ('CHU'->'ehu', 'Service de'->'seruiee de', 'Remerciements'->
+#: 'renereienents', 'ANNEXE'->'onnexe'), digits widened to the folded
+#: digit-ish class [0-9oizsb] (3/4/6/7/9 have no confusion twin). Drives
+#: the damage-tolerant fm_* features and the fuzzy half of the annex gate
+#: — marker lines keep classifying through OCR substitutions that break
+#: the exact patterns (EVAL.md noisy tier: annex precision, page recall).
+_FD = r"[0-9oizsb]"
+RE_MAIN_FUZZY = re.compile(
+    rf"^(?:(?P<page>{_FD}{{1,3}}\s*/\s*{_FD}{{1,3}})"
+    rf"|(?P<headnote>ehu [\wà-ÿ ]+ - seruiee de .+)"
+    rf"|(?P<footnote>ehu .+ - {_FD}+, .+ - {_FD}{{5}} .+)"
+    r"|(?P<ack>renereienents\b.*)"
+    r"|(?P<annex>onnexe\b.*))$")
+
+
+@lru_cache(maxsize=65536)
+def _main_kind_fuzzy(t: str) -> str | None:
+    """Fold-tolerant twin of :func:`_main_kind` (memoized on the RAW line;
+    the fold runs inside so callers share one cache)."""
+    m = RE_MAIN_FUZZY.match(ocr_fold(t))
     return m.lastgroup if m else None
 
 
@@ -276,6 +302,16 @@ FEATURES = (
     # HIGHER/LOWER/SAMEFONTSIZE, MedicalReportSegmenterParser.java:530-551)
     # + page-start relative position
     "newfont", "size_up", "size_down", "x_shift", "page_first",
+    # r5 damage-tolerant marker features: RE_MAIN re-matched on OCR-folded
+    # text, so a substituted char ('1/4' -> 'l/4') doesn't erase the
+    # marker evidence the exact m_* features carry
+    "fm_page", "fm_headnote", "fm_footnote", "fm_ack", "fm_annex",
+    # r5 CONTENT features (format-shift tier): evidence keyed on what the
+    # line CONTAINS rather than the full template — institution keyword,
+    # service keyword, generic pagination shape, postcode run. They fire in
+    # family A (so training weights them) and keep firing when a second
+    # grammar family rearranges the template (EVAL.md format-shift tier).
+    "has_chu", "has_service", "pagey", "has_pc5",
 )
 _FI = {f: i for i, f in enumerate(FEATURES)}
 
@@ -321,6 +357,9 @@ def line_features(texts: list[str], is_media: np.ndarray,
         g = mains[i]
         if g is not None:
             X[i, _FI[f"m_{g}"]] = 1.0
+        fg = _main_kind_fuzzy(t)
+        if fg is not None:
+            X[i, _FI[f"fm_{fg}"]] = 1.0
         front = (first_chunk and page_idx_l[i] == 0 and i < first_section
                  and g is None)
         # repetition = CROSS-PAGE boilerplate evidence (the reference's F3
@@ -378,11 +417,17 @@ def line_features(texts: list[str], is_media: np.ndarray,
 
 def annex_marker_mask(texts: list[str], is_media: np.ndarray) -> np.ndarray:
     """Structural gate: ``annex_b`` is emittable only at an ANNEXE marker
-    line (the B- of the B-I constraint)."""
+    line (the B- of the B-I constraint). The fuzzy classifier is accepted
+    alongside the exact one (r5): a substituted char in the marker must
+    not make the whole annex region structurally unreachable; on clean
+    text the fuzzy set is a superset of the exact set and the trained
+    emission weights decide, so clean decode is unchanged (goldens
+    re-verified)."""
     n = len(texts)
     im = is_media.tolist()
     return np.fromiter(
-        (not im[i] and _main_kind(texts[i]) == "annex"
+        (not im[i] and (_main_kind(texts[i]) == "annex"
+                        or _main_kind_fuzzy(texts[i]) == "annex")
          for i in range(n)), dtype=bool, count=n)
 
 

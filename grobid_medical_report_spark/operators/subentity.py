@@ -73,6 +73,9 @@ SUB_FEATURES = (
     "ctx_bp", "ctx_quartier", "ctx_commune", "ctx_decede", "ctx_ipp",
     "ctx_birth", "ctx_birthplace", "ctx_addr", "ctx_addrplace",
     "ctx_dept", "ctx_region", "ctx_pc", "ctx_paren",
+    # r5: gazetteer membership via OCR fold — city tokens keep their
+    # identity through character damage (birthplace/settlement recall)
+    "city_lex",
 )
 _SF = {f: i for i, f in enumerate(SUB_FEATURES)}
 
@@ -125,6 +128,39 @@ _ORG_SELF_KW = {"CHU": "chu", "GHU": "ghu", "DMU": "dmu",
                 "Institut": "inst", "Centre": "center", "Site": "site",
                 "Unité": "unit", "Département": "odept"}
 
+# --------------------------------------------------------------------------
+# OCR-fold fallback (r5): every keyword test below also accepts the token
+# whose ocr_fold matches the keyword's fold, so in-class character damage
+# ('Hôpital' -> 'Hopital' -> 'H0pital', 'né(e)' -> 'ne(e)'/'n(ée)') keeps
+# the context machine running — the noisy tier's birthplace/site/settlement
+# misses all traced to a dead keyword. Exact tests stay first; folds only
+# widen. The fuzzy digit class covers digits with confusion twins.
+# --------------------------------------------------------------------------
+from ..functions.textnorm import ocr_fold as _fold
+
+_NE_FOLDS = {_fold(x) for x in _NE_FORMS} | {"n(ee)", "nee()"}  # + transposes
+_DECEDE_FOLDS = {_fold(x) for x in _DECEDE_FORMS}
+_STREET_FOLDS = {_fold(x) for x in _STREET_KW}
+_BUILDING_FOLDS = {_fold(x) for x in _BUILDING_KW}
+_ASSOC_FOLDS = {_fold(x) for x in _ASSOC_KW}
+_ORG_SELF_FOLDS = {_fold(k): v for k, v in _ORG_SELF_KW.items()}
+_TITLE_FOLDS = {_fold(x) for x in _TITLES}
+_FD5 = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{5}")          # fuzzy postcode
+RE_DATE_SHAPE_F = re.compile(
+    r"(?=[^\d]*\d)[0-9oizsb]{1,2}/[0-9oizsb]{1,2}(/[0-9oizsb]{2,4})?,?")
+RE_TIME_SHAPE_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{1,2}h[0-9oizsb]{2},?")
+
+
+def _city_folds():
+    global _CITY_FOLDS
+    if _CITY_FOLDS is None:
+        from ..functions import lexicon as _lex
+        _CITY_FOLDS = {_fold(c) for c in _lex.CITIES}
+    return _CITY_FOLDS
+
+
+_CITY_FOLDS = None
+
 
 def tokens_of(text: str) -> list[tuple[int, str]]:
     """(char_start, token) for whitespace tokens — the reference sub-model
@@ -149,10 +185,12 @@ def _token_shape(tok: str):
     classification traits the context machine consumes."""
     core = tok.rstrip(",.")
     low = core.lower()
+    fl = _fold(core)               # fold-fallback key (see tables above)
     is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
     paren_open = tok.startswith("(") and not is_paren_digit
     f = [_SF["bias"]]
-    if core in _TITLES or tok.rstrip(",") in _TITLES:
+    if core in _TITLES or tok.rstrip(",") in _TITLES \
+            or fl in _TITLE_FOLDS:
         f.append(_SF["title_lex"])
     if tok.endswith(","):
         f.append(_SF["endcomma"])
@@ -160,38 +198,39 @@ def _token_shape(tok: str):
         f.append(_SF["allcaps"])
     elif core[:1].isupper() and core[1:].islower():
         f.append(_SF["titlecase"])
-    if RE_DATE_SHAPE.fullmatch(tok):
+    if RE_DATE_SHAPE.fullmatch(tok) or RE_DATE_SHAPE_F.fullmatch(tok):
         f.append(_SF["date_shape"])
-    if RE_TIME_SHAPE.fullmatch(tok):
+    if RE_TIME_SHAPE.fullmatch(tok) or RE_TIME_SHAPE_F.fullmatch(tok):
         f.append(_SF["time_shape"])
     if any(c.isdigit() for c in tok):
         f.append(_SF["has_digit"])
-    if tok == "le":
+    if tok == "le" or (len(core) == 2 and fl == "ie"):
         f.append(_SF["is_le"])
-    if tok == "à":
+    if tok in ("\u00e0", "a"):        # accent-stripped '\u00e0' stays the marker
         f.append(_SF["is_a"])
-    if low in _NE_FORMS:
+    if low in _NE_FORMS or fl in _NE_FOLDS:
         f.append(_SF["is_ne"])
-    if low == "demeurant":
+    if low == "demeurant" or fl == "deneuront":
         f.append(_SF["is_demeurant"])
     if tok == ":":
         f.append(_SF["is_colon"])
-    if low == "ans":
+    if low == "ans" or (len(core) == 3 and fl == "ons"):
         f.append(_SF["is_ans"])
-    five_digit = bool(re.fullmatch(r"\d{5}", core))
+    five_digit = bool(re.fullmatch(r"\d{5}", core)
+                      or _FD5.fullmatch(core))
     if five_digit:
         f.append(_SF["five_digit"])
-    if tok in _STREET_KW:
+    if tok in _STREET_KW or fl in _STREET_FOLDS:
         f.append(_SF["street_kw"])
-    if core == "Cedex":
+    if core == "Cedex" or fl == "eedex":
         f.append(_SF["is_cedex"])
     if tok == "-":
         f.append(_SF["is_dash"])
-    if core == "Pôle":
+    if core == "P\u00f4le" or fl == "poie":
         f.append(_SF["is_pole_kw"])
-    if core == "SERVICE":
+    if core == "SERVICE" or fl == "seruiee":
         f.append(_SF["is_service_kw"])
-    if core in ("France", "FRANCE"):
+    if core in ("France", "FRANCE") or fl == "tronee":
         f.append(_SF["is_france"])
     if is_paren_digit:
         f.append(_SF["paren_digit"])
@@ -207,56 +246,69 @@ def _token_shape(tok: str):
         f.append(_SF["has_at"])
     if low.startswith("www."):
         f.append(_SF["has_www"])
-    if core in _ORG_SELF_KW:
-        f.append(_SF["kw_" + _ORG_SELF_KW[core]])
-    if core in _ASSOC_KW:
+    org_ctx = _ORG_SELF_KW.get(core) or _ORG_SELF_FOLDS.get(fl)
+    if org_ctx:
+        f.append(_SF["kw_" + org_ctx])
+    is_assoc = core in _ASSOC_KW or fl in _ASSOC_FOLDS
+    if is_assoc:
         f.append(_SF["kw_assoc"])
-    if core == "Tél":
+    if core == "T\u00e9l" or fl == "tei":
         f.append(_SF["kw_tel"])
-    if core == "Fax":
+    if core == "Fax" or fl == "tox":
         f.append(_SF["kw_fax"])
-    if low == "courriel":
+    if low == "courriel" or fl == "eourriei":
         f.append(_SF["kw_courriel"])
-    if core == "Sexe":
+    if core == "Sexe" or fl == "sexe":
         f.append(_SF["kw_sexe"])
-    if core in _BUILDING_KW or tok in _BUILDING_KW:
+    if core in _BUILDING_KW or tok in _BUILDING_KW \
+            or fl in _BUILDING_FOLDS:
         f.append(_SF["kw_building"])
     if core in _POBOX_KW:
         f.append(_SF["kw_bp"])
-    if core == "Quartier":
+    if core == "Quartier" or fl == "quortier":
         f.append(_SF["kw_quartier"])
-    if core == "Commune":
+    if core == "Commune" or fl == "eonnune":
         f.append(_SF["kw_commune"])
-    if low in _DECEDE_FORMS:
+    if low in _DECEDE_FORMS or fl in _DECEDE_FOLDS:
         f.append(_SF["kw_decede"])
-    if core == "IPP":
+    if core == "IPP" or fl == "ipp":
         f.append(_SF["kw_ipp"])
+    if fl in _city_folds():
+        f.append(_SF["city_lex"])
     # value-after keyword classification (context switch applied AFTER the
     # token emits) — "" when the token is not a value-after keyword
-    if core == "Tél":
+    if core == "T\u00e9l" or fl == "tei":
         vkw = "tel"
-    elif core == "Fax":
+    elif core == "Fax" or fl == "tox":
         vkw = "fax"
-    elif low == "courriel":
+    elif low == "courriel" or fl == "eourriei":
         vkw = "courriel"
-    elif core == "Sexe":
+    elif core == "Sexe" or fl == "sexe":
         vkw = "sexe"
-    elif core in _BUILDING_KW or tok in _BUILDING_KW:
+    elif core in _BUILDING_KW or tok in _BUILDING_KW \
+            or fl in _BUILDING_FOLDS:
         vkw = "building"
     elif core in _POBOX_KW:
         vkw = "bp"
-    elif core == "Quartier":
+    elif core == "Quartier" or fl == "quortier":
         vkw = "quartier"
-    elif core == "Commune":
+    elif core == "Commune" or fl == "eonnune":
         vkw = "commune"
-    elif low in _DECEDE_FORMS:
+    elif low in _DECEDE_FORMS or fl in _DECEDE_FOLDS:
         vkw = "decede"
-    elif core == "IPP":
+    elif core == "IPP" or fl == "ipp":
         vkw = "ipp"
     else:
         vkw = ""
+    # extended shape tuple (r5): the resolved fold-aware classifications
+    # ride along so the context machine never re-tests raw literals
     return (tuple(f), core, low, is_paren_digit, paren_open, five_digit,
-            vkw)
+            vkw, org_ctx, is_assoc,
+            low in _NE_FORMS or fl in _NE_FOLDS,
+            low == "demeurant" or fl == "deneuront",
+            tok in _STREET_KW or fl in _STREET_FOLDS,
+            core == "P\u00f4le" or fl == "poie",
+            core == "SERVICE" or fl == "seruiee")
 
 
 def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
@@ -275,15 +327,16 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
     shapes = [_token_shape(t) for _s, t in toks]
     for i, (_s, tok) in enumerate(toks):
         (static, core, low, is_paren_digit, paren_open, five_digit,
-         vkw) = shapes[i]
+         vkw, org_ctx, is_assoc, is_ne_tok, is_dem_tok, is_street_tok,
+         is_pole_tok, is_service_tok) = shapes[i]
         # ---- SELF-INCLUSIVE context switches (before emitting) ----------
-        if core in _ORG_SELF_KW:
-            ctx = _ORG_SELF_KW[core]
+        if org_ctx:
+            ctx = org_ctx
             seg_post_comma = False
-        elif core in _ASSOC_KW:
+        elif is_assoc:
             ctx = "assoc"
             seg_post_comma = False
-        elif core == "Pôle" or core == "SERVICE":
+        elif is_pole_tok or is_service_tok:
             ctx = ""            # pole/service ride the r3 sticky flags
             seg_post_comma = False
         elif paren_open:
@@ -316,7 +369,7 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
         if after_servicekw:
             f.append(_SF["after_servicekw"])
         if i + 1 < n:
-            if shapes[i + 1][1] == "SERVICE":
+            if shapes[i + 1][13]:               # next is SERVICE (fold-ok)
                 f.append(_SF["next_service_kw"])
             if shapes[i + 1][3]:
                 f.append(_SF["next_paren_digit"])
@@ -326,29 +379,30 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             f.append(_SF["ctx_" + ctx])
         rows.append(f)
         # ---- post-emission updates --------------------------------------
-        if low in _NE_FORMS:
+        if is_ne_tok:
             after_ne = True
             ctx, seg_post_comma = "birth", False
-        if low == "demeurant":
+        if is_dem_tok:
             after_dem = True
             ctx, seg_post_comma = "addr", False
         if tok == ":":
             after_colon = True
-        if tok in _STREET_KW:
+        if is_street_tok:
             after_streetkw = True
         if five_digit:
             after_postcode = True
             ctx, seg_post_comma = "pc", False
-        if core == "Pôle":
+        if is_pole_tok:
             after_polekw = True
-        if core == "SERVICE":
+        if is_service_tok:
             after_servicekw = True
-        # value-after keyword switches
+        # value-after keyword switches ('à' accepts its accent-stripped
+        # twin 'a': inside birth/addr context the bare form is unambiguous)
         if vkw:
             ctx, seg_post_comma = vkw, False
-        elif tok == "à" and ctx == "birth":
+        elif tok in ("à", "a") and ctx == "birth":
             ctx = "birthplace"
-        elif tok == "à" and ctx == "addr":
+        elif tok in ("à", "a") and ctx == "addr":
             ctx = "addrplace"
         elif is_paren_digit:
             ctx, seg_post_comma = "dept", False

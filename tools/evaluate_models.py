@@ -325,6 +325,120 @@ def _noisy_ner(lo, hi, noise):
     return data, rule_pairs
 
 
+# ---------------------------------------------------------------------------
+# FORMAT-SHIFT tier (r5, VERDICT r4 item 1): train on grammar family A,
+# score the held-out docs RENDERED IN FAMILY B (corpus.shift_format — the
+# label-aware second grammar: reordered blocks, alternate field spellings,
+# different separators/pagination/heading styles). Gold stays authoritative
+# because every rewrite is keyed on the line's true (label, field). Covered
+# models are the four whose gold the GENERATOR carries per line (segmenter,
+# header, leftnote, body); the sub-entity token taggers' gold is produced
+# by the scanner twins, so an honest B-family for them needs generator-
+# authored token gold — documented boundary, not evaluated. fr-medical-ner
+# entities live in body paragraphs, which family B leaves intact (entity
+# char offsets could not survive a paragraph rewrite).
+# ---------------------------------------------------------------------------
+
+
+def _shifted_seg(lo, hi):
+    import numpy as np
+
+    from grobid_medical_report_spark.corpus import (ZONE_OF, generate_doc,
+                                                    shift_format)
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        d = shift_format(generate_doc(i), i)
+        texts = [sp["text"] for sp in d["spans"]]
+        is_media = np.array([sp["kind"] == "media" for sp in d["spans"]])
+        gold = []
+        for j, lab in enumerate(d["line_labels"]):
+            z = ZONE_OF[lab]
+            if z == "annex":
+                z = ("annex_b" if not is_media[j]
+                     and seg.RE_ANNEX_START.match(texts[j]) else "annex_i")
+            gold.append(seg._Z[z])
+        X = seg.line_features(texts, is_media, True, None)
+        gate = seg.annex_marker_mask(texts, is_media)
+        data.append((X, gate, np.array(gold)))
+        rpred = seg.segment_doc(texts, is_media, True, None, use_rules=True)
+        for g, p in zip(gold, rpred):
+            rule_pairs.append(
+                (seg._OUT.get(seg.STATES[g], seg.STATES[g]), p))
+    return data, rule_pairs
+
+
+def _shifted_lines(lo, hi, zone, feat_fn, rule_fn, idx):
+    from grobid_medical_report_spark.corpus import (ZONE_OF, generate_doc,
+                                                    shift_format)
+    from grobid_medical_report_spark.functions.textnorm import \
+        normalize_space
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        d = shift_format(generate_doc(i), i)
+        for j, lab in enumerate(d["line_labels"]):
+            if ZONE_OF[lab] != zone:
+                continue
+            gold = d["line_fields"][j]
+            t = normalize_space(d["spans"][j]["text"])
+            data.append((feat_fn(t), idx[gold]))
+            rule_pairs.append((gold, rule_fn(t)))
+    return data, rule_pairs
+
+
+def _shifted_body(lo, hi):
+    from grobid_medical_report_spark.corpus import generate_doc, shift_format
+    from grobid_medical_report_spark.operators.body import label_body_line
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        d = shift_format(generate_doc(i), i)
+        for j, lab in enumerate(d["line_labels"]):
+            if lab not in tb._BODY_SET:
+                continue
+            t = d["spans"][j]["text"]
+            data.append((body.body_line_features(t), body._BL[lab]))
+            rule_pairs.append((lab, label_body_line(t, False, False)))
+    return data, rule_pairs
+
+
+FORMAT_SHIFT_MODELS = ("medical-report-segmenter", "full-medical-text",
+                       "header-medical-report", "left-note-medical-report")
+
+
+def format_shift_examples(model: str, lo: int, hi: int):
+    """(fitted eval data, [(gold, rule_pred)]) on family-B held-out docs."""
+    if model == "medical-report-segmenter":
+        return _shifted_seg(lo, hi)
+    if model == "full-medical-text":
+        return _shifted_body(lo, hi)
+    if model == "header-medical-report":
+        return _shifted_lines(lo, hi, "header", header.header_line_features,
+                              header.label_header_line_rules, header._HL)
+    if model == "left-note-medical-report":
+        return _shifted_lines(lo, hi, "leftnote",
+                              leftnote.leftnote_line_features,
+                              leftnote.label_leftnote_line_rules,
+                              leftnote._LL)
+    raise ValueError(f"no format-shift tier for {model}")
+
+
+def eval_format_shift(model: str, n_docs: int = 500,
+                      train_fraction: float = 0.8) -> dict:
+    """Train on family A (docs 0..cut), score family-B renderings of the
+    held-out docs — the format-generalization number, with the rules twin
+    scored on the same family-B decisions."""
+    fam = FAMILIES[model]()
+    cut = int(n_docs * train_fraction)
+    with contextlib.redirect_stdout(sys.stderr):
+        W = fam["fit"](fam["examples"](0, cut))
+    eval_data, rule_pairs = format_shift_examples(model, cut, n_docs)
+    res = prf(fam["pairs"](eval_data, W))
+    rules = prf(rule_pairs)
+    return {"model": model, "mode": "format_shift", "train_docs": cut,
+            "eval_docs": n_docs - cut, "split": train_fraction,
+            "rules_micro_accuracy": rules["micro_accuracy"],
+            "rules_macro_f1": rules["macro_f1"], **res}
+
+
 def noisy_examples(model: str, lo: int, hi: int, noise: float):
     """(fitted eval data, [(gold, rule_pred)]) on corrupted held-out docs."""
     if model == "medical-report-segmenter":
@@ -404,10 +518,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--noise", type=float, default=0.0,
                     help="OCR-corrupt the held-out docs (split mode)")
+    ap.add_argument("--format-shift", action="store_true",
+                    help="score the held-out docs rendered in grammar "
+                         "family B (corpus.shift_format)")
     ap.add_argument("--models", default=",".join(FAMILIES))
     args = ap.parse_args(argv)
-    for model in args.models.split(","):
-        if args.mode == "split":
+    models = args.models.split(",")
+    if args.format_shift:
+        models = [m for m in models if m in FORMAT_SHIFT_MODELS]
+    for model in models:
+        if args.format_shift:
+            r = eval_format_shift(model, args.n_docs, args.split)
+        elif args.mode == "split":
             r = eval_split(model, args.n_docs, args.split, args.noise)
         else:
             r = eval_nfold(model, args.n_docs, args.folds)

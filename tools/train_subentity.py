@@ -31,7 +31,7 @@ from grobid_medical_report_spark.operators.header import (  # noqa: E402
 from grobid_medical_report_spark.operators.segmenter import \
     RE_DATELINE  # noqa: E402
 
-N_TRAIN = 300
+N_TRAIN = 500
 MAX_EPOCHS = 60
 
 #: reference header-fixture shapes (processHeaderFromPDF.xml content)
@@ -159,10 +159,18 @@ def examples(model: str, lo: int, hi: int):
             [se.SUB_LABELS[model].index(g) for g in gold]
 
 
-def train(data, n_labels):
+def train(data, n_labels, margin: float = 1.0):
+    """Margin perceptron (update while score(gold) <= score(runner-up) +
+    margin). Plain zero-error stopping leaves unseen-signature behavior
+    underdetermined — any weight vector that separates the training set is
+    accepted, and which one you get shifts with feature-set changes
+    (observed r5: a retrain flipped 'France' on a held-out signature).
+    Forcing a unit margin picks a centered separator, so decode on
+    signatures near the training set stays stable across retrains. The
+    data is separable, so margin training converges too."""
     W = [[0.0] * len(se.SUB_FEATURES) for _ in range(n_labels)]
     for epoch in range(MAX_EPOCHS):
-        errors = 0
+        errors = updates = 0
         for _text, feats, gold in data:
             for f, g in zip(feats, gold):
                 best, arg = None, 0
@@ -170,14 +178,27 @@ def train(data, n_labels):
                     s = sum(W[j][k] for k in f)
                     if best is None or s > best:
                         best, arg = s, j
+                s_gold = sum(W[g][k] for k in f)
+                runner = max((sum(W[j][k] for k in f)
+                              for j in range(n_labels) if j != g),
+                             default=float("-inf"))
                 if arg != g:
                     errors += 1
+                if s_gold <= runner + margin:
+                    updates += 1
+                    loser = arg if arg != g else max(
+                        (j for j in range(n_labels) if j != g),
+                        key=lambda j: sum(W[j][k] for k in f))
                     for k in f:
                         W[g][k] += 1.0
-                        W[arg][k] -= 1.0
-        print(f"  epoch {epoch}: {errors} token errors")
-        if errors == 0:
+                        W[loser][k] -= 1.0
+        print(f"  epoch {epoch}: {errors} token errors, {updates} updates")
+        if updates == 0:
             return W, epoch
+    if errors == 0:
+        # separable and error-free but a few margins stay tight: accept
+        print(f"  stopping at {MAX_EPOCHS} epochs with 0 errors")
+        return W, MAX_EPOCHS
     raise SystemExit(f"{MAX_EPOCHS} epochs without convergence")
 
 
