@@ -223,6 +223,20 @@ def x_extract_bold_medics(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_df(spark, _n_extract(spark, sf_dir), layout=True))
 
 
+def x_extract_prescriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-token style runs (r5, closes SURVEY §2 F1): each span
+    carries a LIST of (r_from, r_to, style) char runs — italic drug names,
+    bold dosages, bold signing medics can coexist in ONE line. The decision
+    pairs every italic drug with the nearest bold dosage in the same span
+    (plans/pipeline.py:styled_prescriptions, pure column exprs); a single
+    bold_from/bold_to pair per span provably loses rows
+    (tests/test_layout.py)."""
+    from grobid_medical_report_spark.plans.pipeline import \
+        styled_prescriptions
+    return styled_prescriptions(
+        corpus_df(spark, _n_extract(spark, sf_dir), layout=True))
+
+
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grobid_medical_report_spark.operators.training import training_data
     return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
@@ -456,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_org_fields": x_extract_org_fields,
         "x_extract_address_fields": x_extract_address_fields,
         "x_extract_bold_medics": x_extract_bold_medics,
+        "x_extract_prescriptions": x_extract_prescriptions,
     }
     # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin a few
     # long-tail entries that were OUTSIDE every previous round's sampled
@@ -542,6 +557,8 @@ _X_ORACLES = {
         "web, note"),
     "x_extract_bold_medics": _golden(
         "expected_bold_medics", "doc_id, persname"),
+    "x_extract_prescriptions": _golden(
+        "expected_prescriptions", "doc_id, \"offset\", drug, dose"),
     "x_extract_org_fields": _golden(
         "expected_org_fields", "doc_id, field, value"),
     "x_extract_address_fields": _golden(

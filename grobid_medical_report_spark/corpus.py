@@ -28,6 +28,7 @@ from the input span text alone, exactly as the reference's CRF features do.
 from __future__ import annotations
 
 import random
+import re
 from typing import Any, Iterator
 
 from .functions import lexicon as lex
@@ -190,6 +191,61 @@ TOP_Y = 72.0
 #: marker (colon / dash / all-caps) and is recognizable ONLY by its layout
 #: attributes — the phenomena that make the layout features load-bearing
 P_LAYOUT_ONLY = 0.35
+
+
+#: dosage shape for the derived bold typesetting runs (layout mode)
+_RE_DOSE = re.compile(r"\b\d+ mg\b")
+
+
+def _derive_style_runs(label: str, text: str, bf: int,
+                       bt: int) -> list[tuple[int, int, str]]:
+    """ARBITRARY per-token style runs for a layout-mode line (r5, closes
+    SURVEY §2 F1): the document's typesetting conventions render drug names
+    in ITALIC and dosages in BOLD in body text, on top of the explicit bold
+    run (signing medic) the generator may have placed. Everything here is
+    DERIVED from the already-drawn text — no RNG — so the text corpus stays
+    byte-stable; only layout metadata widens. One line can carry several
+    runs of mixed styles ('Paracétamol 500 mg' = italic + bold), which is
+    exactly the reference's LayoutToken granularity (per-token bold/italic,
+    MedicalReportSegmenterParser.java:392-558) that a single bold_from/
+    bold_to pair cannot represent."""
+    runs: list[tuple[int, int, str]] = []
+    if bf >= 0:
+        runs.append((bf, bt, "bold"))
+    if label in ("paragraph", "item"):
+        for m in _RE_DOSE.finditer(text):
+            runs.append((m.start(), m.end(), "bold"))
+        for term in lex.MEDICAMENT:
+            start = 0
+            while True:
+                k = text.find(term, start)
+                if k < 0:
+                    break
+                end = k + len(term)
+                if ((k == 0 or not text[k - 1].isalnum())
+                        and (end >= len(text) or not text[end].isalnum())):
+                    runs.append((k, end, "italic"))
+                start = k + 1
+    runs.sort()
+    return runs
+
+
+def _pair_prescriptions(runs: list[tuple[int, int, str]],
+                        text: str) -> list[tuple[str, str]]:
+    """Golden truth for the style-run decision: pair every ITALIC drug run
+    with the NEAREST BOLD dosage run in the same span (distance = |dose
+    start − drug end|, ties to the earlier dose). Needs the full run list —
+    a one-run-per-span schema loses every second drug and every mixed
+    bold+italic line (tests/test_layout.py pins both)."""
+    doses = [(b0, b1) for b0, b1, st in runs
+             if st == "bold" and _RE_DOSE.fullmatch(text[b0:b1])]
+    out = []
+    for i0, i1, st in runs:
+        if st != "italic" or not doses:
+            continue
+        b0, b1 = min(doses, key=lambda d: (abs(d[0] - i1), d[0], d[1]))
+        out.append((text[i0:i1], text[b0:b1]))
+    return out
 
 
 def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
@@ -699,6 +755,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
             if lab == "page":      # page-number line closes the page
                 y = TOP_Y
     spans = []
+    prescriptions: list[tuple[int, str, str]] = []
     for off, (label, text, ref, _pseq) in enumerate(lines):
         is_media = label.startswith("media_")
         sp = {"kind": "media" if is_media else "text",
@@ -707,9 +764,15 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
               "offset": off}
         if layout:
             f, s, b, it, xx, bf, bt = styles[off]
+            runs = ([] if is_media
+                    else _derive_style_runs(label, text, bf, bt))
             sp.update({"font": f, "font_size": s, "bold": b, "italic": it,
                        "x": xx, "y": ys[off], "bold_from": bf,
-                       "bold_to": bt})
+                       "bold_to": bt,
+                       "style_runs": [{"r_from": a, "r_to": z, "style": st}
+                                      for a, z, st in runs]})
+            for drug, dose in _pair_prescriptions(runs, text):
+                prescriptions.append((off, drug, dose))
         spans.append(sp)
 
     # ---- expected outputs (golden oracle) ----------------------------------
@@ -794,6 +857,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
         "line_fields": line_fields,
         "line_styles": styles if layout else [],
         "bold_medics": bold_medics,
+        "prescriptions": prescriptions,
     }
 
 
@@ -877,7 +941,8 @@ INPUT_SCHEMA_LAYOUT = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int,"
     "font:string,font_size:double,bold:boolean,italic:boolean,"
-    "x:double,y:double,bold_from:int,bold_to:int>>"
+    "x:double,y:double,bold_from:int,bold_to:int,"
+    "style_runs:array<struct<r_from:int,r_to:int,style:string>>>>"
 )
 
 

@@ -94,7 +94,12 @@ BODY_LABELS = ("paragraph", "section", "subsection", "item", "medic",
                "figure", "table")
 BODY_FEATURES = ("bias", "g_figure", "g_table", "g_item", "g_medic",
                  "g_section", "g_subsection", "sec_lex", "sub_lex",
-                 "lay_heading", "lay_sub", "lay_indent")
+                 "lay_heading", "lay_sub", "lay_indent",
+                 # r5 CONTENT features (format-shift tier): bullet-ish line
+                 # start and an all-caps short heading — fire in family A
+                 # ('- item', 'TITRE :') so training weights them, and keep
+                 # firing on family B's '• item' / '1. TITRE' renderings
+                 "c_bullet", "c_caps_head")
 _BL = {b: i for i, b in enumerate(BODY_LABELS)}
 _BF = {f: i for i, f in enumerate(BODY_FEATURES)}
 
@@ -125,6 +130,12 @@ def body_line_features(text: str, lay_heading: bool = False,
         f.append(_BF["lay_sub"])
     if lay_indent:
         f.append(_BF["lay_indent"])
+    if text.startswith(("- ", "• ", "* ")):
+        f.append(_BF["c_bullet"])
+    alpha = [c for c in text if c.isalpha()]
+    if (4 <= len(alpha) and len(text.split()) <= 8
+            and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha)):
+        f.append(_BF["c_caps_head"])
     return f
 
 

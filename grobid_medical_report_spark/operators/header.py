@@ -13,6 +13,8 @@ idno/persname/birth/age/address, person-name -> title/forename/surname).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import re
 from typing import Any
 
@@ -79,7 +81,13 @@ HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
                    # collapsing to bias-only vectors)
                    "f_numsign", "f_ipp", "f_sex", "f_birth", "f_age",
                    "f_paddr", "f_patient", "f_medic", "f_dateline",
-                   "f_mostly_upper")
+                   "f_mostly_upper",
+                   # r5 CONTENT features (format-shift tier): label-intrinsic
+                   # evidence that fires in family A (so training weights it)
+                   # and survives a reshaped template — a date token, the age
+                   # unit, a civility, a praticien title, a long digit run
+                   "c_date_tok", "c_ans_tok", "c_title_tok", "c_dr_tok",
+                   "c_digits_run")
 _HL = {b: i for i, b in enumerate(HEADER_LABELS)}
 _HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
 
@@ -90,6 +98,15 @@ HEADER_MODEL_PATH = _os.path.join(
 
 #: folded '<n> ans' — digits without a confusion twin stay digits
 _RE_AGE_F = re.compile(r"[0-9oizsb]{1,3} ons")
+
+#: content probes on folded text (see HEADER_FEATURES c_* comment)
+_RE_DATE_TOK_F = re.compile(
+    r"(?<![0-9oizsb])[0-9oizsb]{1,2}/[0-9oizsb]{1,2}/[0-9oizsb]{2,4}"
+    r"(?![0-9oizsb])")
+_RE_DR_TOK_F = re.compile(r"\b(?:dr|doeteur|pr|protesseur)\b")
+_RE_DIGITS_RUN_F = re.compile(r"[0-9oizsb]{6,}")
+_RE_ANS_TOK_F = re.compile(r"\bons\b")
+_RE_DIGIT = re.compile(r"\d")
 
 
 def header_line_features(t: str, largest: bool = False) -> list[int]:
@@ -142,6 +159,17 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
     alpha = [c for c in t if c.isalpha()]
     if len(alpha) >= 8 and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha):
         f.append(_HF["f_mostly_upper"])
+    has_digit = _RE_DIGIT.search(t) is not None
+    if has_digit and _RE_DATE_TOK_F.search(ft):
+        f.append(_HF["c_date_tok"])
+    if _RE_ANS_TOK_F.search(ft):
+        f.append(_HF["c_ans_tok"])
+    if "nonsieur" in ft or "nodone" in ft:
+        f.append(_HF["c_title_tok"])
+    if _RE_DR_TOK_F.search(ft):
+        f.append(_HF["c_dr_tok"])
+    if has_digit and _RE_DIGITS_RUN_F.search(ft):
+        f.append(_HF["c_digits_run"])
     return f
 
 
@@ -185,7 +213,11 @@ def _header_weights() -> list[list[float]]:
     return _HEADER_WL
 
 
+@lru_cache(maxsize=131072)
 def label_header_line_fitted(t: str, largest: bool = False) -> str:
+    # pure in (t, largest): the committed weights load once per process
+    # (tests/test_packaging.py pins that) and header-zone lines draw from
+    # a finite grammar that repeats heavily across documents
     WL = _header_weights()
     feats = header_line_features(t, largest)
     best, arg = None, 0

@@ -10,6 +10,8 @@ space-joined affiliation style (see fixture processLeftNoteFromPDF.xml.xml:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import re as _re
 from typing import Any
 
@@ -83,8 +85,41 @@ _F_ORG_KW = ("ehu", "ghu", "dnu", "poie ", "seruiee", "hopitoi",
 _F_ADDR_KW = ("botinent", "inneubie", "bp ", "quortier", "eonnune")
 _F_STAFF_KW = ("kinesitheropeute", "soge-tenne", "intirniere",
                "seeretoriot")
-_RE_STREET_F = _re.compile(r"^[0-9oizsb]{1,4}, ")
-_RE_POSTCODE_F = _re.compile(r"^[0-9oizsb]{5} ")
+#: comma optional and an optional folded 'F-' postal prefix ('f'->'t'):
+#: the same street/postcode CONTENT through either family's separators.
+#: The comma-free form demands at least one REAL digit — fold maps b/o/i
+#: etc. to themselves, so a space-split word head like 'Bâ ' ('bo ') is
+#: all confusion-class letters and must not read as a street number.
+_RE_STREET_F = _re.compile(r"^(?:[0-9oizsb]{1,4}, "
+                           r"|(?=[oizsb]{0,3}[0-9])[0-9oizsb]{1,4} )")
+_RE_POSTCODE_F = _re.compile(r"^(?:t-)?[0-9oizsb]{5} ")
+
+
+def _kw_rx(probes: tuple[str, ...]) -> "_re.Pattern":
+    """Damage-tolerant keyword matcher, applied to the SPACE-STRIPPED fold:
+    accepts each long probe (>= 5 chars — short ones stay exact to keep
+    their word-boundary conventions) or any single adjacent-transposition
+    variant of it. fold(transpose(x)) == transpose(fold(x)) (fold is
+    char-wise), so folding first and transposing the probes covers raw-text
+    transposition damage ('Hôpiatl', 'Asscoiation'), while space-stripping
+    covers insertion splits ('SE RVICE', 'Uni versité') — the two noisy-
+    tier failure modes that dumped org letterhead lines into staff_name."""
+    vs = set()
+    for p in probes:
+        p = p.strip()
+        if len(p) < 5:
+            continue
+        vs.add(p)
+        for i in range(len(p) - 1):
+            if p[i] != p[i + 1]:
+                vs.add(p[:i] + p[i + 1] + p[i] + p[i + 2:])
+    alt = "|".join(_re.escape(v) for v in sorted(vs, key=len, reverse=True))
+    return _re.compile(rf"^(?:{alt})")
+
+
+_F_ORG_KW_RX = _kw_rx(_F_ORG_KW)
+_F_ADDR_KW_RX = _kw_rx(_F_ADDR_KW)
+_F_STAFF_KW_RX = _kw_rx(_F_STAFF_KW)
 
 
 def leftnote_line_features(t: str) -> list[int]:
@@ -93,13 +128,16 @@ def leftnote_line_features(t: str) -> list[int]:
         if rx.fullmatch(t):
             f.append(_LF[name])
     ft = ocr_fold(t)
-    if ft.startswith(_F_ORG_KW):
+    ds = ft.replace(" ", "")
+    if ft.startswith(_F_ORG_KW) or _F_ORG_KW_RX.match(ds):
         f.append(_LF["f_org_kw"])
-    if ft.startswith("tei"):
+    # 'Téléphone' folds to 'teiephone' but 'Télécopie' folds to 'teieeopie'
+    # — both start 'tei', so the fax probe must win that prefix
+    if ft.startswith("tei") and not ft.startswith("teieeopie"):
         f.append(_LF["f_tel"])
-    if ft.startswith("tox"):
+    if ft.startswith(("tox", "teieeopie")):
         f.append(_LF["f_fax"])
-    if ft.startswith("tei") and " - tox" in ft:
+    if ft.startswith("tei") and (" - tox" in ft or "teieeopie" in ft[3:]):
         f.append(_LF["f_contact"])
     if "www" in ft or "http" in ft or ft.endswith((".tr", ".eon", ".net")):
         f.append(_LF["f_web"])
@@ -109,9 +147,9 @@ def leftnote_line_features(t: str) -> list[int]:
         f.append(_LF["f_street"])
     if _RE_POSTCODE_F.match(ft):
         f.append(_LF["f_postcode"])
-    if ft.startswith(_F_ADDR_KW):
+    if ft.startswith(_F_ADDR_KW) or _F_ADDR_KW_RX.match(ds):
         f.append(_LF["f_addr_more"])
-    if ft.startswith(_F_STAFF_KW):
+    if ft.startswith(_F_STAFF_KW) or _F_STAFF_KW_RX.match(ds):
         f.append(_LF["f_staff_kw"])
     return f
 
@@ -163,7 +201,10 @@ def _leftnote_weights() -> list[list[float]]:
     return _LN_WL
 
 
+@lru_cache(maxsize=131072)
 def label_leftnote_line_fitted(t: str) -> str:
+    # pure in t: weights load once per process; letterhead lines draw from
+    # the finite institution grammar and repeat across documents
     WL = _leftnote_weights()
     feats = leftnote_line_features(t)
     best, arg = None, 0

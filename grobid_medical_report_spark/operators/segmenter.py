@@ -113,7 +113,7 @@ RE_MAIN = re.compile(
     r"|(?P<annex>ANNEXE\b.*))$")
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=131072)
 def _main_kind(t: str) -> str | None:
     """Memoized RE_MAIN classification (pure; boilerplate lines repeat —
     headnote/footnote/page lines especially, by construction)."""
@@ -137,29 +137,69 @@ RE_MAIN_FUZZY = re.compile(
     r"|(?P<annex>onnexe\b.*))$")
 
 
-@lru_cache(maxsize=65536)
+#: generic pagination shape on folded text ('1/4', 'Page 1 sur 4') and a
+#: 5-digit postcode run (optional folded 'F-' prefix -> 't-')
+_RE_PAGEY_F = re.compile(
+    rf"(?:poge )?{_FD}{{1,3}}(?: ?(?:/|sur) ?{_FD}{{1,3}})?")
+#: longest string _RE_PAGEY_F can fully match ('poge 123 sur 123') — lines
+#: beyond it cannot fullmatch, so the attempt is skipped (hot path)
+_PAGEY_MAX_LEN = 16
+_RE_PC5_F = re.compile(rf"(?<![0-9oizsb])(?:t-)?[0-9oizsb]{{5}}(?![0-9oizsb])")
+_RE_CHU_F = re.compile(r"\b(?:ehu|ghu)\b")
+_RE_DIGIT = re.compile(r"\d")
+
+
+@lru_cache(maxsize=131072)
+def _fuzzy_facts(t: str) -> tuple[str | None, bool, bool, bool, bool]:
+    """(fuzzy main kind, has_chu, has_service, pagey, has_pc5) — every
+    damage-tolerant per-line fact, computed on ONE shared OCR fold behind
+    ONE memo (this is the hottest per-line path: most body lines are
+    unique, so the fold + probes run cold; sharing the fold and the cache
+    lookup across all five facts is a ~2x win on the kernel).
+
+    The fm_* fact is the fold-tolerant twin of :func:`_main_kind`; the
+    content facts key on what the line CONTAINS rather than the full
+    template — they fire in family A (so training weights them) and keep
+    firing when a second grammar family rearranges the template
+    (format-shift tier)."""
+    ft = ocr_fold(t)
+    m = RE_MAIN_FUZZY.match(ft)
+    has_digit = _RE_DIGIT.search(t) is not None
+    return (m.lastgroup if m else None,
+            _RE_CHU_F.search(ft) is not None,
+            "seruiee" in ft,
+            has_digit and len(ft) <= _PAGEY_MAX_LEN
+            and _RE_PAGEY_F.fullmatch(ft) is not None,
+            has_digit and _RE_PC5_F.search(ft) is not None)
+
+
 def _main_kind_fuzzy(t: str) -> str | None:
-    """Fold-tolerant twin of :func:`_main_kind` (memoized on the RAW line;
-    the fold runs inside so callers share one cache)."""
-    m = RE_MAIN_FUZZY.match(ocr_fold(t))
-    return m.lastgroup if m else None
+    """Fold-tolerant twin of :func:`_main_kind` (thin view over the shared
+    :func:`_fuzzy_facts` memo)."""
+    return _fuzzy_facts(t)[0]
 
 
-@lru_cache(maxsize=65536)
+def _content_flags(t: str) -> tuple[bool, bool, bool, bool]:
+    """(has_chu, has_service, pagey, has_pc5) — thin view over the shared
+    :func:`_fuzzy_facts` memo."""
+    return _fuzzy_facts(t)[1:]
+
+
+@lru_cache(maxsize=131072)
 def _is_section_line(t: str) -> bool:
     """Memoized ``RE_SECTION and not ANNEX`` test (pure; section-heading
     lines draw from a small grammar and repeat across documents)."""
     return bool(RE_SECTION.fullmatch(t)) and not RE_ANNEX_START.match(t)
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=131072)
 def _front_flags(t: str) -> tuple[bool, bool]:
     """Memoized (RE_LEFT, RE_HDR) pair — kept as independent flags because
     a line may match both and both features must fire."""
     return bool(RE_LEFT.match(t)), bool(RE_HDR.match(t))
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=131072)
 def _front_kind(t: str) -> str | None:
     """Memoized front-matter classification: leftnote beats header, matching
     the original RE_LEFT-then-RE_HDR cascade order."""
@@ -314,6 +354,16 @@ FEATURES = (
     "has_chu", "has_service", "pagey", "has_pc5",
 )
 _FI = {f: i for i, f in enumerate(FEATURES)}
+# pre-resolved feature columns for the per-line hot loop in line_features
+_M_COL = {g: _FI[f"m_{g}"]
+          for g in ("page", "headnote", "footnote", "ack", "annex")}
+_FM_COL = {g: _FI[f"fm_{g}"]
+           for g in ("page", "headnote", "footnote", "ack", "annex")}
+_C_CHU, _C_SERV, _C_PAGEY, _C_PC5 = (_FI["has_chu"], _FI["has_service"],
+                                     _FI["pagey"], _FI["has_pc5"])
+_C_REPEAT, _C_FRONT = _FI["repeat"], _FI["front"]
+_C_FLEFT, _C_FHDR, _C_FOTH = (_FI["front_left"], _FI["front_hdr"],
+                              _FI["front_other"])
 
 MODEL_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -351,32 +401,47 @@ def line_features(texts: list[str], is_media: np.ndarray,
             first_section = i
             break
 
+    # batch the sparse per-line hits into row-index lists and write each
+    # feature column ONCE (a numpy scalar __setitem__ per hit was ~40% of
+    # this function); _M_COL/_FM_COL pre-resolve the f-string dict keys
+    hits: dict[int, list[int]] = {}
+    counts_get = counts.get
     for i, t in enumerate(texts):
         if im[i]:
             continue
         g = mains[i]
         if g is not None:
-            X[i, _FI[f"m_{g}"]] = 1.0
-        fg = _main_kind_fuzzy(t)
+            hits.setdefault(_M_COL[g], []).append(i)
+        fg, chu, serv, pg, pc5 = _fuzzy_facts(t)
         if fg is not None:
-            X[i, _FI[f"fm_{fg}"]] = 1.0
+            hits.setdefault(_FM_COL[fg], []).append(i)
+        if chu:
+            hits.setdefault(_C_CHU, []).append(i)
+        if serv:
+            hits.setdefault(_C_SERV, []).append(i)
+        if pg:
+            hits.setdefault(_C_PAGEY, []).append(i)
+        if pc5:
+            hits.setdefault(_C_PC5, []).append(i)
         front = (first_chunk and page_idx_l[i] == 0 and i < first_section
                  and g is None)
         # repetition = CROSS-PAGE boilerplate evidence (the reference's F3
         # detector counts repeats across pages) — a duplicated line inside
         # the page-1 front region (two medics with the same name) is not
         # boilerplate, so the feature must not fire there
-        if counts.get(t, 0) >= 2 and not front:
-            X[i, _FI["repeat"]] = 1.0
+        if counts_get(t, 0) >= 2 and not front:
+            hits.setdefault(_C_REPEAT, []).append(i)
         if front:
-            X[i, _FI["front"]] = 1.0
+            hits.setdefault(_C_FRONT, []).append(i)
             left, hdr = _front_flags(t)
             if left:
-                X[i, _FI["front_left"]] = 1.0
+                hits.setdefault(_C_FLEFT, []).append(i)
             if hdr:
-                X[i, _FI["front_hdr"]] = 1.0
+                hits.setdefault(_C_FHDR, []).append(i)
             if not (left or hdr):
-                X[i, _FI["front_other"]] = 1.0
+                hits.setdefault(_C_FOTH, []).append(i)
+    for col, rows in hits.items():
+        X[rows, col] = 1.0
 
     if layout is not None:
         sizes = layout["size"]

@@ -266,6 +266,47 @@ def result_spans(extracted: DataFrame) -> DataFrame:
                     F.col("s.media_ref").alias("media_ref")))
 
 
+def styled_prescriptions(df: DataFrame) -> DataFrame:
+    """Prescription pairs from ARBITRARY per-token style runs (r5, closes
+    SURVEY §2 F1): the layout corpus types drug names in ITALIC and dosages
+    in BOLD (``style_runs`` — a LIST of (r_from, r_to, style) char runs per
+    span, the reference's LayoutToken per-token style granularity,
+    MedicalReportSegmenterParser.java:392-558). Each italic drug run pairs
+    with the NEAREST bold run whose covered text is a dosage (distance =
+    |dose start − drug end|, ties to the earlier run) — a decision that
+    NEEDS the full run list: one (from, to) pair per span drops every
+    second drug and cannot hold bold + italic at once. Pure JVM column
+    expressions (higher-order filter/transform/array_sort + substring);
+    no Python, no shuffle — scale-safe at any corpus size."""
+    s = df.select("doc_id", F.explode("spans").alias("s"))
+    s = (s.filter((F.col("s.kind") == "text")
+                  & (F.size("s.style_runs") >= 2))
+          .select(
+              "doc_id",
+              F.col("s.offset").alias("offset"),
+              F.col("s.text").alias("text"),
+              F.expr("filter(s.style_runs, r -> r.style = 'italic')")
+               .alias("drugs"),
+              F.expr("filter(s.style_runs, r -> r.style = 'bold' AND "
+                     "substring(s.text, r.r_from + 1, r.r_to - r.r_from) "
+                     "rlike '^[0-9]+ mg$')").alias("doses"))
+          .filter((F.size("drugs") > 0) & (F.size("doses") > 0)))
+    s = s.select("doc_id", "offset", "text", "doses",
+                 F.explode("drugs").alias("d"))
+    best = F.expr(
+        "array_sort(transform(doses, b -> struct("
+        "abs(b.r_from - d.r_to) as dist, b.r_from as f, b.r_to as t)))[0]")
+    return (s.select(
+                "doc_id", "offset",
+                F.expr("substring(text, d.r_from + 1, d.r_to - d.r_from)")
+                 .alias("drug"),
+                best.alias("b"),
+                F.col("text"))
+             .select("doc_id", "offset", "drug",
+                     F.expr("substring(text, b.f + 1, b.t - b.f)")
+                      .alias("dose")))
+
+
 def bold_medic_mentions(df: DataFrame) -> DataFrame:
     """Signing-medic detection from TOKEN-LEVEL bold runs (r4): the layout
     corpus carries an optional in-span bold char range (``bold_from``/

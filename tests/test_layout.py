@@ -171,3 +171,67 @@ def test_bold_medic_mentions_need_token_level_styles(spark):
     # structurally impossible there (schema has no bold_from column)
     d = generate_doc(3)
     assert "bold_from" not in d["spans"][0]
+
+
+def test_style_runs_are_arbitrary_per_token_runs(layout_docs):
+    """r5 (closes SURVEY §2 F1): spans carry a LIST of (r_from, r_to, style)
+    char runs — several runs of MIXED styles coexist in one line (italic
+    drug + bold dosage, plus the explicit bold medic run), the granularity
+    a single bold_from/bold_to pair cannot represent. Run derivation is
+    deterministic from the drawn text, so the text corpus stays
+    byte-stable."""
+    multi = mixed = two_drugs = 0
+    for d in layout_docs:
+        for s in d["spans"]:
+            runs = s.get("style_runs")
+            if s["kind"] != "text":
+                assert runs == []
+                continue
+            # runs are sorted, in-bounds, and substring-consistent
+            prev = (-1, -1)
+            for r in runs:
+                assert 0 <= r["r_from"] < r["r_to"] <= len(s["text"])
+                assert (r["r_from"], r["r_to"]) >= prev
+                prev = (r["r_from"], r["r_to"])
+                assert r["style"] in ("bold", "italic")
+            if len(runs) >= 2:
+                multi += 1
+                if len({r["style"] for r in runs}) == 2:
+                    mixed += 1
+                if sum(r["style"] == "italic" for r in runs) >= 2:
+                    two_drugs += 1
+            # the old one-run field is consistent with the run list
+            if s.get("bold_from", -1) >= 0:
+                assert {"r_from": s["bold_from"], "r_to": s["bold_to"],
+                        "style": "bold"} in runs
+    assert multi > 100 and mixed > 100
+    assert two_drugs > 0        # >= 2 runs of the SAME style in one span
+    # the text-only corpus carries no style metadata at all
+    assert "style_runs" not in generate_doc(3)["spans"][0]
+
+
+def test_styled_prescriptions_need_the_run_list(spark):
+    """The drug/dosage pairing decision NEEDS the full run list: the query
+    result equals the generation truth, and collapsing each span to its
+    FIRST run (the old single-run schema) provably loses prescriptions."""
+    from pyspark.sql import functions as F
+
+    from grobid_medical_report_spark.plans.pipeline import \
+        styled_prescriptions
+
+    N = 120
+    df = corpus_df(spark, N, layout=True)
+    got = sorted(tuple(r) for r in styled_prescriptions(df).collect())
+    want = sorted((d["doc_id"], off, drug, dose)
+                  for d in (generate_doc(i, layout=True) for i in range(N))
+                  for off, drug, dose in d["prescriptions"])
+    assert got == want and len(got) > 200
+    # single-run collapse: keep only the first run per span
+    collapsed = df.select(
+        "doc_id",
+        F.expr("transform(spans, s -> named_struct("
+               "'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref, "
+               "'offset', s.offset, 'style_runs', slice(s.style_runs, 1, 1)"
+               "))").alias("spans"))
+    lost = styled_prescriptions(collapsed).count()
+    assert lost == 0      # pairing needs >= 2 runs; one run can never pair

@@ -93,13 +93,9 @@ def _pairs_argmax(data, W, labels):
 
 def _seg_family():
     def ex(lo, hi):
-        out = []
-        for i in range(lo, hi):
-            for texts, is_media, fc, lay, gold in tseg._doc_views(i):
-                X = seg.line_features(texts, is_media, fc, lay)
-                gate = seg.annex_marker_mask(texts, is_media)
-                out.append((X, gate, gold))
-        return out
+        # Views list with .aug corrupted twins riding along — train() uses
+        # them for its phase-2 augmentation; scoring iterates the clean list
+        return tseg.build_training_set(lo, hi)
 
     def pairs(data, W):
         out = []

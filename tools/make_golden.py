@@ -141,6 +141,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
     lspans = {"doc_id": [], "order": [], "kind": [], "text": [],
               "media_ref": []}
     bmed = {"doc_id": [], "persname": []}
+    presc = {"doc_id": [], "offset": [], "drug": [], "dose": []}
     for i in range(n_docs):
         d = generate_doc(i, layout=True)
         for sp in d["expected_spans"]:
@@ -152,6 +153,11 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
         for name in d["bold_medics"]:
             bmed["doc_id"].append(d["doc_id"])
             bmed["persname"].append(name)
+        for off, drug, dose in d["prescriptions"]:
+            presc["doc_id"].append(d["doc_id"])
+            presc["offset"].append(off)
+            presc["drug"].append(drug)
+            presc["dose"].append(dose)
 
     def tbl(cols: dict, int_cols: set[str]) -> pa.Table:
         return pa.table({k: pa.array(v, type=_i32 if k in int_cols else _str)
@@ -161,6 +167,7 @@ def golden_tables(n_docs: int = N_DOCS) -> dict[str, pa.Table]:
         "expected_tei": tbl(tei, set()),
         "expected_spans_layout": tbl(lspans, {"order"}),
         "expected_bold_medics": tbl(bmed, set()),
+        "expected_prescriptions": tbl(presc, {"offset"}),
         "expected_spans": tbl(spans, {"order"}),
         "expected_header": tbl(header, set()),
         "expected_entities": tbl(ents, {"start_char", "end_char", "span_order"}),

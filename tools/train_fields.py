@@ -76,25 +76,96 @@ def leftnote_examples(lo: int, hi: int):
         yield leftnote.leftnote_line_features(t), leftnote._LL[gold]
 
 
-def train(data, n_labels, n_feats):
+def _margin_pass(W, data, n_labels, margin):
+    """One epoch; margin=None means classic update-on-error only (used by
+    the clean-repair loop — a margin-0 pass would churn on exact ties)."""
+    errors = updates = 0
+    for feats, gold in data:
+        scores = [sum(W[j][f] for f in feats) for j in range(n_labels)]
+        arg = max(range(n_labels), key=scores.__getitem__)
+        if arg != gold:
+            errors += 1
+        if margin is None:
+            violated = arg != gold
+        else:
+            runner = max((scores[j] for j in range(n_labels) if j != gold),
+                         default=float("-inf"))
+            violated = scores[gold] <= runner + margin
+        if violated:
+            updates += 1
+            loser = arg if arg != gold else max(
+                (j for j in range(n_labels) if j != gold),
+                key=scores.__getitem__)
+            for f in feats:
+                W[gold][f] += 1.0
+                W[loser][f] -= 1.0
+    return errors, updates
+
+
+def _errors(W, data, n_labels):
+    n = 0
+    for feats, gold in data:
+        scores = [sum(W[j][f] for f in feats) for j in range(n_labels)]
+        if max(range(n_labels), key=scores.__getitem__) != gold:
+            n += 1
+    return n
+
+
+def train(data, n_labels, n_feats, margin: float = 1.0,
+          masked=frozenset(), mask_epochs: int = 12):
+    """Margin perceptron (update while score(gold) <= score(runner-up) +
+    margin). Zero-error stopping leaves co-adapted weights arbitrary — any
+    separator is accepted, so a feature that is redundant IN TRAINING
+    (e.g. a content feature that co-fires with an exact template match)
+    can end up with no weight of its own and carry nothing when the
+    template evidence dies (noise / format-shift tiers). The unit margin
+    forces a centered separator that spreads weight over all firing
+    evidence. Data is separable, so margin training converges too.
+
+    ``masked`` feature ids drive an optional best-effort phase 2 over
+    exact-template-masked dropout twins (same pattern as tools/
+    train_body.py: updates run over clean + twins, kept weights are the
+    best snapshot whose CLEAN decode is error-free) — the training
+    pressure that gives content evidence standalone weight."""
     W = [[0.0] * n_feats for _ in range(n_labels)]
     for epoch in range(MAX_EPOCHS):
-        errors = 0
-        for feats, gold in data:
-            best, arg = None, 0
-            for j in range(n_labels):
-                s = sum(W[j][f] for f in feats)
-                if best is None or s > best:
-                    best, arg = s, j
-            if arg != gold:
-                errors += 1
-                for f in feats:
-                    W[gold][f] += 1.0
-                    W[arg][f] -= 1.0
-        print(f"  epoch {epoch}: {errors} line errors")
-        if errors == 0:
-            return W, epoch
-    raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+        errors, updates = _margin_pass(W, data, n_labels, margin)
+        print(f"  epoch {epoch}: {errors} line errors, {updates} updates")
+        if updates == 0:
+            break
+    else:
+        if errors:
+            raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+        print(f"  stopping at {MAX_EPOCHS} epochs with 0 errors")
+        epoch = MAX_EPOCHS
+
+    twins = []
+    for feats, gold in data:
+        kept = [f for f in feats if f not in masked]
+        if len(kept) < len(feats):
+            twins.append((kept, gold))
+    if not twins:
+        return W, epoch
+    best = [row[:] for row in W]
+    best_twin = _errors(W, twins, n_labels)
+    print(f"  mask baseline: {best_twin} twin errors of {len(twins)}")
+    for mepoch in range(mask_epochs):
+        _, updates = _margin_pass(W, list(data) + twins, n_labels, margin)
+        for _ in range(MAX_EPOCHS):
+            cerr, _u = _margin_pass(W, data, n_labels, None)
+            if cerr == 0:
+                break
+        twin_errs = _errors(W, twins, n_labels)
+        print(f"  mask epoch {mepoch}: {updates} updates, "
+              f"{cerr} clean / {twin_errs} twin errors")
+        if cerr == 0 and twin_errs < best_twin:
+            best = [row[:] for row in W]
+            best_twin = twin_errs
+            epoch += 1
+        if updates == 0:
+            break
+    print(f"  kept snapshot: 0 clean / {best_twin} twin errors")
+    return best, epoch
 
 
 def main() -> None:
@@ -102,7 +173,10 @@ def main() -> None:
 
     data = list(header_examples(0, N_TRAIN))
     print(f"header: {len(data)} lines")
-    W, ep = train(data, len(header.HEADER_LABELS), len(header.HEADER_FEATURES))
+    h_masked = frozenset(header._HF[f] for f in header.HEADER_FEATURES
+                         if f.startswith("r_"))
+    W, ep = train(data, len(header.HEADER_LABELS), len(header.HEADER_FEATURES),
+                  masked=h_masked)
     with open(header.HEADER_MODEL_PATH, "w") as f:
         json.dump({"labels": list(header.HEADER_LABELS),
                    "features": list(header.HEADER_FEATURES), "W": W,
@@ -113,8 +187,10 @@ def main() -> None:
 
     data = list(leftnote_examples(0, N_TRAIN))
     print(f"leftnote: {len(data)} lines")
+    l_masked = frozenset(leftnote._LF[f] for f in leftnote.LEFTNOTE_FEATURES
+                         if f.startswith("r_"))
     W, ep = train(data, len(leftnote.LEFTNOTE_LABELS),
-                  len(leftnote.LEFTNOTE_FEATURES))
+                  len(leftnote.LEFTNOTE_FEATURES), masked=l_masked)
     with open(leftnote.LEFTNOTE_MODEL_PATH, "w") as f:
         json.dump({"labels": list(leftnote.LEFTNOTE_LABELS),
                    "features": list(leftnote.LEFTNOTE_FEATURES), "W": W,

@@ -117,23 +117,89 @@ def build_training_set(lo: int = 0, hi: int = N_TRAIN,
     return out
 
 
-def train(examples):
+def _fuzzy_twins(examples):
+    """Exact-mark-masked dropout twins (same paradigm as train_body's
+    template-masked twins): for every category whose example carries BOTH
+    the exact cb_/ci_ candidate marks and their fuzzy fb_/fi_ mirrors, emit
+    a twin with the exact columns zeroed. On clean text the two channels
+    always co-fire, so the perceptron never has to give the fuzzy channel
+    standalone weight — and under OCR corruption, where only the fuzzy
+    channel survives (fold-matched lexicon terms, RE_DATE_FUZZY shapes),
+    the decode collapsed to the default state (observed: corrupted slash
+    dates cascading to B-perstype, noisy-tier B-perstype precision 0.31).
+    Twins whose category has no fuzzy mirror (persname, value, unit — the
+    exact channel is the only evidence) are not emitted: masking those
+    would be inherently ambiguous, which is why the phase is best-effort
+    like train_body's (zero CLEAN errors required, twin errors minimized)."""
+    twins = []
+    for X, gold in examples:
+        cols = []
+        for t in ner.NER_TYPES:
+            cb, ci = ner._NF[f"cb_{t}"], ner._NF[f"ci_{t}"]
+            fb, fi = ner._NF[f"fb_{t}"], ner._NF[f"fi_{t}"]
+            if (X[:, [cb, ci]].any() and X[:, [fb, fi]].any()):
+                cols += [cb, ci]
+        if cols:
+            X2 = X.copy()
+            X2[:, cols] = 0.0
+            twins.append((X2, gold))
+    return twins
+
+
+def _pass(W, examples):
+    errors = 0
+    for X, gold in examples:
+        em = X @ W.T
+        pred = np.array(ner._bio_decode(em))
+        bad = pred != gold
+        if bad.any():
+            errors += int(bad.sum())
+            np.add.at(W, gold[bad], X[bad])
+            np.subtract.at(W, pred[bad], X[bad])
+    return errors
+
+
+def _count_errors(W, examples):
+    n = 0
+    for X, gold in examples:
+        em = X @ W.T
+        n += int((np.array(ner._bio_decode(em)) != gold).sum())
+    return n
+
+
+def train(examples, mask_epochs: int = 10):
     k, d = len(ner.NER_STATES), len(ner.NER_FEATURES)
     W = np.zeros((k, d))
     for epoch in range(MAX_EPOCHS):
-        errors = 0
-        for X, gold in examples:
-            em = X @ W.T
-            pred = np.array(ner._bio_decode(em))
-            bad = pred != gold
-            if bad.any():
-                errors += int(bad.sum())
-                np.add.at(W, gold[bad], X[bad])
-                np.subtract.at(W, pred[bad], X[bad])
+        errors = _pass(W, examples)
         print(f"epoch {epoch}: {errors} token errors")
         if errors == 0:
-            return W, epoch
-    raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+            break
+    else:
+        raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+
+    twins = _fuzzy_twins(examples)
+    if not twins:
+        return W, epoch
+    best, best_twin = W.copy(), _count_errors(W, twins)
+    print(f"fuzzy-twin baseline: {best_twin} twin errors "
+          f"({len(twins)} twins)")
+    for mepoch in range(mask_epochs):
+        updates = _pass(W, examples + twins)
+        for _ in range(MAX_EPOCHS):
+            cerr = _pass(W, examples)   # zero errors ⇒ no updates made
+            if cerr == 0:
+                break
+        twin_errs = _count_errors(W, twins)
+        print(f"fuzzy epoch {mepoch}: {updates} updates, "
+              f"{cerr} clean / {twin_errs} twin errors")
+        if cerr == 0 and twin_errs < best_twin:
+            best, best_twin = W.copy(), twin_errs
+            epoch += 1
+        if updates == 0:
+            break
+    print(f"kept snapshot: 0 clean / {best_twin} twin errors")
+    return best, epoch
 
 
 def main() -> None:

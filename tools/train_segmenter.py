@@ -31,11 +31,34 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from grobid_medical_report_spark import corpus as _corpus  # noqa: E402
 from grobid_medical_report_spark.corpus import ZONE_OF, generate_doc  # noqa: E402
 from grobid_medical_report_spark.operators import segmenter as seg  # noqa: E402
 
 N_TRAIN = 300
 MAX_EPOCHS = 60
+#: corrupted-view augmentation (phase 2): OCR-noise twins of the training
+#: docs, trained BEST-EFFORT (clean views keep the zero-error contract).
+#: Damage kills the exact template features (m_*, front regexes), so these
+#: views are the only training pressure that puts weight on the
+#: fold-invariant evidence (fm_*, has_chu/has_service/pagey/has_pc5) —
+#: exactly what must carry the decode in the noise / format-shift tiers.
+AUG_NOISE = 0.25
+
+
+def _aug_rng(i: int):
+    """Training-augmentation noise stream — salted differently from
+    corpus.noise_rng so the eval tiers never score corruption realizations
+    the model trained on (eval docs are doc-disjoint from the refit range
+    anyway; the salt makes it unconditional)."""
+    import random
+    return random.Random(((_corpus.SEED ^ 0x7A11) << 32) ^ i)
+
+
+class Views(list):
+    """Clean training views; ``.aug`` carries the corrupted twins."""
+
+    aug: list = []
 
 
 def _doc_views(i: int):
@@ -68,25 +91,69 @@ def _doc_views(i: int):
                    np.array(gold[s0:]))
 
 
-def build_training_set():
+def corrupted_views(lo: int, hi: int, noise: float = AUG_NOISE) -> list:
     out = []
-    for i in range(N_TRAIN):
+    for i in range(lo, hi):
+        nrng = _aug_rng(i)
         for texts, is_media, fc, lay, gold in _doc_views(i):
-            X = seg.line_features(texts, is_media, fc, lay)
-            gate = seg.annex_marker_mask(texts, is_media)
+            im = is_media.tolist()
+            ctexts = [t if im[k] else
+                      _corpus.corrupt_text(t, nrng, noise, spacing=True)
+                      for k, t in enumerate(texts)]
+            X = seg.line_features(ctexts, is_media, fc, lay)
+            gate = seg.annex_marker_mask(ctexts, is_media)
             out.append((X, gate, gold))
     return out
 
 
-def decode(X: np.ndarray, gate: np.ndarray, W: np.ndarray) -> np.ndarray:
-    em = X @ W.T
+def build_training_set(lo: int = 0, hi: int | None = None) -> Views:
+    hi = N_TRAIN if hi is None else hi
+    out = Views()
+    for i in range(lo, hi):
+        for texts, is_media, fc, lay, gold in _doc_views(i):
+            X = seg.line_features(texts, is_media, fc, lay)
+            gate = seg.annex_marker_mask(texts, is_media)
+            out.append((X, gate, gold))
+    out.aug = corrupted_views(lo, hi)
+    return out
+
+
+def decode_em(em: np.ndarray, gate: np.ndarray) -> np.ndarray:
     em[~gate, seg._Z["annex_b"]] = -1e9
     if em[:, seg._Z["annex_b"]].max() < 0:
         return np.argmax(em, axis=1)
     return seg.viterbi(em)
 
 
+def decode(X: np.ndarray, gate: np.ndarray, W: np.ndarray) -> np.ndarray:
+    return decode_em(X @ W.T, gate)
+
+
+AUG_EPOCHS = 20
+AUG_PATIENCE = 4
+
+
+def _true_errors(examples, W) -> int:
+    return sum(int((decode(X, gate, W) != gold).sum())
+               for X, gate, gold in examples)
+
+
 def train(examples) -> tuple[np.ndarray, int]:
+    """Two-phase structured perceptron. Phase 1: plain updates on the
+    CLEAN views to zero training errors (the hard contract —
+    golden-corpus parity requires exact decode on every training doc).
+    Phase 2: mixed epochs over clean + corrupted views (``examples.aug``,
+    OCR-noise twins with the same gold): the corrupted views are the
+    training pressure that puts weight on fold-invariant evidence (fm_*,
+    content features) that is REDUNDANT next to exact template matches on
+    clean text; the clean views in the same epoch re-anchor the exact
+    decode. Kept weights are the best snapshot whose CLEAN decode is
+    error-free (fewest corrupted-view errors wins), so the zero-train-
+    error guarantee survives augmentation. An emission-margin phase was
+    tried and is unsatisfiable here: lines with identical feature vectors
+    carry different gold states that only the fixed B-I transition
+    structure separates (probed: every persistent margin violation was
+    (annex_i, body))."""
     k, d = len(seg.STATES), len(seg.FEATURES)
     W = np.zeros((k, d))
     for epoch in range(MAX_EPOCHS):
@@ -100,8 +167,54 @@ def train(examples) -> tuple[np.ndarray, int]:
                 np.subtract.at(W, pred[bad], X[bad])
         print(f"epoch {epoch}: {errors} line errors")
         if errors == 0:
-            return W, epoch
-    raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+            break
+    else:
+        raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
+
+    aug = list(getattr(examples, "aug", ()) or ())
+    if not aug:
+        return W, epoch
+    best, best_epoch = W.copy(), epoch
+    best_aug = _true_errors(aug, W)
+    print(f"aug baseline: {best_aug} corrupted-view errors")
+    stale = 0
+    for aepoch in range(AUG_EPOCHS):
+        updates = 0
+        for X, gate, gold in list(examples) + aug:
+            pred = decode(X, gate, W)
+            bad = pred != gold
+            if bad.any():
+                updates += int(bad.sum())
+                np.add.at(W, gold[bad], X[bad])
+                np.subtract.at(W, pred[bad], X[bad])
+        # clean repair: the corrupt-pass pulls weights off the clean
+        # separator; plain clean-only epochs re-anchor (warm start, fast)
+        # so every aug epoch ends at an eligible zero-clean-error state
+        clean_errs = -1
+        for _ in range(MAX_EPOCHS):
+            clean_errs = 0
+            for X, gate, gold in examples:
+                pred = decode(X, gate, W)
+                bad = pred != gold
+                if bad.any():
+                    clean_errs += int(bad.sum())
+                    np.add.at(W, gold[bad], X[bad])
+                    np.subtract.at(W, pred[bad], X[bad])
+            if clean_errs == 0:
+                break
+        aug_errs = _true_errors(aug, W)
+        print(f"aug epoch {aepoch}: {updates} updates, "
+              f"{clean_errs} clean / {aug_errs} corrupted errors")
+        if clean_errs == 0 and aug_errs < best_aug:
+            best, best_epoch = W.copy(), epoch + 1 + aepoch
+            best_aug = aug_errs
+            stale = 0
+        else:
+            stale += 1
+        if updates == 0 or stale >= AUG_PATIENCE:
+            break
+    print(f"kept snapshot: 0 clean / {best_aug} corrupted errors")
+    return best, best_epoch
 
 
 def main() -> None:
