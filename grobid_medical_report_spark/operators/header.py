@@ -87,7 +87,14 @@ HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
                    # and survives a reshaped template — a date token, the age
                    # unit, a civility, a praticien title, a long digit run
                    "c_date_tok", "c_ans_tok", "c_title_tok", "c_dr_tok",
-                   "c_digits_run")
+                   "c_digits_run",
+                   # r5b format-transfer features: label-intrinsic shapes
+                   # that SEPARATE the date-bearing and address-bearing
+                   # labels without the family-A keyword — a dateline's
+                   # date travels with an ALL-CAPS placename, a birthdate's
+                   # does not, and a patient address carries a street
+                   # keyword + number whatever the label prefix says
+                   "c_date_place", "c_date_noplace", "c_street_tok")
 _HL = {b: i for i, b in enumerate(HEADER_LABELS)}
 _HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
 
@@ -107,6 +114,13 @@ _RE_DR_TOK_F = re.compile(r"\b(?:dr|doeteur|pr|protesseur)\b")
 _RE_DIGITS_RUN_F = re.compile(r"[0-9oizsb]{6,}")
 _RE_ANS_TOK_F = re.compile(r"\bons\b")
 _RE_DIGIT = re.compile(r"\d")
+#: ALL-CAPS run of >= 2 letters on the RAW line (placenames: 'DIJON');
+#: case survives OCR substitution classes, so raw is the right side
+_RE_CAPS_RUN = re.compile(r"\b[A-ZÀ-ÖØ-Þ]{2,}\b")
+#: street keywords on the OCR fold (computed, not hand-folded)
+_F_STREET_TOK = tuple(ocr_fold(w) for w in
+                      ("avenue", "rue", "boulevard", "place", "chemin",
+                       "allée", "impasse"))
 
 
 def header_line_features(t: str, largest: bool = False) -> list[int]:
@@ -170,6 +184,19 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
         f.append(_HF["c_dr_tok"])
     if has_digit and _RE_DIGITS_RUN_F.search(ft):
         f.append(_HF["c_digits_run"])
+    if has_digit and _RE_DATE_TOK_F.search(ft):
+        if _RE_CAPS_RUN.search(t):
+            f.append(_HF["c_date_place"])
+        else:
+            f.append(_HF["c_date_noplace"])
+    # street shape WITHOUT a civility token: family-A mixed patient lines
+    # ('Madame X ... demeurant 609, Rue ...') also carry street keywords,
+    # so the bare street fact cannot separate an address-only line from a
+    # full patient line — the compound can, and it is label-intrinsic (a
+    # patient_address line never names the patient, whatever the prefix)
+    if has_digit and any(kw in ft for kw in _F_STREET_TOK) \
+            and "nonsieur" not in ft and "nodone" not in ft:
+        f.append(_HF["c_street_tok"])
     return f
 
 

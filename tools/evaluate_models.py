@@ -134,16 +134,20 @@ def _body_family():
 
 
 def _header_family():
+    # masked= mirrors tools/train_fields.py's committed-artifact recipe:
+    # the eval scores the SHIPPED training procedure, dropout phase included
     return {"examples": lambda lo, hi: list(tf.header_examples(lo, hi)),
             "fit": lambda d: tf.train(d, len(header.HEADER_LABELS),
-                                      len(header.HEADER_FEATURES))[0],
+                                      len(header.HEADER_FEATURES),
+                                      masked=tf.header_mask())[0],
             "pairs": lambda d, W: _pairs_argmax(d, W, header.HEADER_LABELS)}
 
 
 def _leftnote_family():
     return {"examples": lambda lo, hi: list(tf.leftnote_examples(lo, hi)),
             "fit": lambda d: tf.train(d, len(leftnote.LEFTNOTE_LABELS),
-                                      len(leftnote.LEFTNOTE_FEATURES))[0],
+                                      len(leftnote.LEFTNOTE_FEATURES),
+                                      masked=tf.leftnote_mask())[0],
             "pairs": lambda d, W: _pairs_argmax(d, W,
                                                 leftnote.LEFTNOTE_LABELS)}
 

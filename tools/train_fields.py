@@ -168,13 +168,34 @@ def train(data, n_labels, n_feats, margin: float = 1.0,
     return best, epoch
 
 
+def header_mask() -> frozenset:
+    """Dropout-twin feature set for the header model: the exact templates
+    (r_*) AND the prefix-anchored fold probes — both die when a second
+    grammar family changes the line prefix ('Patient(e) : Madame ...'), so
+    the twin must look like the family-B vector. Content features (c_*)
+    and prefix-free shapes (f_sex fires on 'Sexe féminin', f_mostly_upper,
+    largest_font) stay. Shared with tools/evaluate_models.py so the eval
+    refits the SAME recipe the committed artifact was trained with."""
+    prefix_probes = {"f_numsign", "f_ipp", "f_birth", "f_age", "f_paddr",
+                     "f_patient", "f_medic", "f_dateline"}
+    return frozenset(header._HF[f] for f in header.HEADER_FEATURES
+                     if f.startswith("r_") or f in prefix_probes)
+
+
+def leftnote_mask() -> frozenset:
+    """Dropout-twin feature set for the left-note model (exact templates
+    only — the f_* probes there are keyword-content probes that survive a
+    reshaped template)."""
+    return frozenset(leftnote._LF[f] for f in leftnote.LEFTNOTE_FEATURES
+                     if f.startswith("r_"))
+
+
 def main() -> None:
     os.makedirs(os.path.dirname(header.HEADER_MODEL_PATH), exist_ok=True)
 
     data = list(header_examples(0, N_TRAIN))
     print(f"header: {len(data)} lines")
-    h_masked = frozenset(header._HF[f] for f in header.HEADER_FEATURES
-                         if f.startswith("r_"))
+    h_masked = header_mask()
     W, ep = train(data, len(header.HEADER_LABELS), len(header.HEADER_FEATURES),
                   masked=h_masked)
     with open(header.HEADER_MODEL_PATH, "w") as f:
@@ -187,10 +208,8 @@ def main() -> None:
 
     data = list(leftnote_examples(0, N_TRAIN))
     print(f"leftnote: {len(data)} lines")
-    l_masked = frozenset(leftnote._LF[f] for f in leftnote.LEFTNOTE_FEATURES
-                         if f.startswith("r_"))
     W, ep = train(data, len(leftnote.LEFTNOTE_LABELS),
-                  len(leftnote.LEFTNOTE_FEATURES), masked=l_masked)
+                  len(leftnote.LEFTNOTE_FEATURES), masked=leftnote_mask())
     with open(leftnote.LEFTNOTE_MODEL_PATH, "w") as f:
         json.dump({"labels": list(leftnote.LEFTNOTE_LABELS),
                    "features": list(leftnote.LEFTNOTE_FEATURES), "W": W,
