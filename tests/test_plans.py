@@ -113,3 +113,16 @@ def test_checkpoint_chunk_scan_is_partition_pruned(spark, tmp_path):
     assert "part_id" in seg, seg
     # and the data predicate section must NOT carry it (it is partition-only)
     assert "Batched: true" in p        # columnar scan of the pruned slice
+
+
+def test_prescriptions_is_span_local_no_shuffle(spark, queries):
+    """The italic-drug x bold-dose pairing must stay span-local column
+    expressions (PLANS.md r5): no Exchange, no join, and no second
+    Generate for the dose side — doses remain an array whose argmin is
+    array_sort(...)[0], so the drug x dose cross product never
+    materializes as rows."""
+    p = _plan(queries["x_extract_prescriptions"](spark, SF))
+    assert "Exchange" not in p, "span-local decision acquired a shuffle"
+    assert "Join" not in p
+    assert p.count("Generate") == 2, \
+        "expected exactly explode(spans) + explode(drugs)"
