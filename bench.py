@@ -257,7 +257,9 @@ def main() -> None:
             "| r4 run2 (token-shape memoized) | 12.20 | 4097 | 47.96 | "
             "0.982 |\n"
             "| r4 run3 (segmenter line-test memos) | 12.13 | 4121 | "
-            "47.73 | 0.983 |\n\n"
+            "47.73 | 0.983 |\n"
+            "| r5 run1 (damage/format features + cache recovery) | 19.34 | "
+            "2585 | 75.14 | 0.971 |\n\n"
             "r3 run3 beats r1's 4151 docs/s record despite this window's "
             "low-core gauge running ~1.4x slower than r1's. The r4 corpus "
             "is measurably HARDER (the grammar emits the reference's full "
@@ -268,6 +270,20 @@ def main() -> None:
             "list-indexed feature loops) recovered the single-core kernel "
             "from 712 to ~870 docs/s — ABOVE the r3 record of 777 — while "
             "scaling efficiency held at 0.98.\n\n"
+            "r5 added the damage/format-tolerant feature sets (an OCR-fold "
+            "+ fuzzy probes in EVERY line featurizer — EVAL.md noisy and "
+            "format-shift tiers), which initially cost 3x on the kernel "
+            "(312 docs/s/core). Recovered to ~675-790 via: one shared-fold "
+            "memo per line instead of three (_fuzzy_facts), per-line "
+            "caches sized ABOVE the unique-line working set (65536 was "
+            "below it — sequential scan + LRU = 0% hits), cached fitted "
+            "line labels for the letterhead zones (~75% cross-doc hit "
+            "rate), and batched sparse feature-column writes (a numpy "
+            "scalar store per hit was ~40% of line_features). The r5 "
+            "window gauge: low-core level 665 docs/s vs r4's 1042 — this "
+            "window ran ~1.6x slower globally (one 149 s low trial shows "
+            "the neighbor noise), which accounts for the headline drop; "
+            "efficiency held at 0.971.\n\n"
             "## headline query times (sec, "
             f"local[{CPUS}], sf={sf}, warm)\n\n| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in q_times.items()))
