@@ -237,7 +237,11 @@ def main() -> None:
             "* r3 synth:200000 — 2m21s; r3 synth:1000000 — 9m13s, 16 "
             "chunks, 512 logical partitions, 100% ok\n"
             "* r4 (full-vocabulary corpus): synth:200000 — 1m25s; "
-            "synth:1000000 — 11m38s, 100% ok, 41.77M spans / 4.0 GB\n\n"
+            "synth:1000000 — 11m38s, 100% ok, 41.77M spans / 4.0 GB\n"
+            "* r5 (damage/format-feature kernel): synth:200000 — 2m33s; "
+            "synth:1000000 — 11m44s, 100% ok — matches r4 on a ~1.6x "
+            "slower window (kernel-recovery work absorbs the new "
+            "feature cost)\n\n"
             "Two scale fixes behind these: the checkpoint chunk width "
             "defaults to the core count (fixed 8-wide chunks left 24 of 32 "
             "cores idle between checkpoint barriers), and the keyed input "
