@@ -480,7 +480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries born outside the r4 sample, plus rows-only entries that have
     # never had a driver CORRECTNESS row in any round — BPE training,
     # winnowing pairs (oracle-backed as of r5, golden/n500), the streaming
-    # extract, and the three real-codec media paths (JPEG, WAV, AVI).
+    # extract, the three real-codec media paths (JPEG, WAV, AVI), and —
+    # widened late-r5 — the sketches, compression-signal and extraction-
+    # anonymizer entries (also never driver-sampled in any round).
     out.update({
         "q_doc_token_rarity": curation.QUERIES["q_doc_token_rarity"],
         "q_doc_training_mix": curation.QUERIES["q_doc_training_mix"],
@@ -492,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.ROWS_ONLY_QUERIES["x_media_wav_features"],
         "x_media_video_frames":
             multimodal.ROWS_ONLY_QUERIES["x_media_video_frames"],
+        "x_sketches": sketches.ROWS_ONLY_QUERIES["x_sketches"],
+        "x_doc_compression":
+            textstats.ROWS_ONLY_QUERIES["x_doc_compression"],
+        "x_anonymize_extraction":
+            strings.ROWS_ONLY_QUERIES["x_anonymize_extraction"],
     })
     for m in _MODULES:
         out.update(m.QUERIES)
