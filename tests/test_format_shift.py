@@ -82,3 +82,18 @@ def test_format_shift_tier_discriminates():
         assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9, \
             (model, r["micro_accuracy"], r["rules_micro_accuracy"])
         assert r["n_decisions"] > 100
+
+
+def test_format_shift_organization_tagger():
+    """The token-level tier (case-reshaped letterhead, family-A gold
+    transferred onto token-preserving rewrites): the fitted tagger must
+    beat its scanner twin by a wide margin — the case-mask training
+    phase (tools/train_subentity.py:case_mask) is what carries the
+    keyword/fold evidence when allcaps/titlecase flip wholesale."""
+    r = ev.eval_format_shift("organization", n_docs=150)
+    assert r["n_decisions"] > 100
+    assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
+    # the scanner twin visibly fails on re-cased lines (the tier bites)
+    assert r["rules_micro_accuracy"] < 0.9, r["rules_micro_accuracy"]
+    # and the fitted path holds what the committed artifact achieves
+    assert r["micro_accuracy"] >= 0.9, r["micro_accuracy"]

@@ -167,8 +167,15 @@ def _sub_family(model: str):
                 out.append((labels[g], labels[arg]))
         return out
 
+    def fit(d):
+        # mirror the committed-artifact recipe: organization trains with
+        # the case-mask dropout phase (tools/train_subentity.py)
+        if model == "organization":
+            return tsub.train_masked(d, len(labels), tsub.case_mask())[0]
+        return tsub.train(d, len(labels))[0]
+
     return {"examples": lambda lo, hi: list(tsub.examples(model, lo, hi)),
-            "fit": lambda d: tsub.train(d, len(labels))[0], "pairs": pairs}
+            "fit": fit, "pairs": pairs}
 
 
 FAMILIES = {
@@ -400,8 +407,47 @@ def _shifted_body(lo, hi):
     return data, rule_pairs
 
 
+def _shifted_sub_org(lo, hi):
+    """Family-B tier for the organization token tagger, restricted to the
+    TOKEN-PRESERVING rewrites (case reshapes: 'SERVICE DE X' -> 'Service
+    de X', 'Pôle X' -> upper; unchanged lines ride along): the family-A
+    scanner gold maps verbatim onto the family-B tokens, so the gold
+    stays independent of any B-aware rule. Count-changing rewrites
+    (contact merge) are skipped — their gold cannot be transferred
+    without writing a family-B scanner, which would beg the question."""
+    from grobid_medical_report_spark.corpus import (ZONE_OF, _shift_line,
+                                                    generate_doc)
+    from grobid_medical_report_spark.functions.textnorm import \
+        normalize_space
+    labels = se.SUB_LABELS["organization"]
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        a = generate_doc(i)
+        # per-line tier: apply the family-B surface rewrite directly to
+        # each A line (shift_format's block ROTATION only permutes line
+        # order, which a per-line token tagger never sees — and indexing
+        # the rotated doc by A positions would misalign gold)
+        for j, lab in enumerate(a["line_labels"]):
+            if ZONE_OF.get(lab) != "leftnote" \
+                    or a["line_fields"][j] not in ("org", "web", "email"):
+                continue
+            ta = normalize_space(a["spans"][j]["text"])
+            tb_ = normalize_space(
+                _shift_line(ta, lab, a["line_fields"][j], {}))
+            gold = se.rule_tags("organization", ta)
+            toks_b = se.tokens_of(tb_)
+            if len(toks_b) != len(gold):
+                continue               # count-changing rewrite: no gold
+            data.append((tb_, se.token_features(toks_b),
+                         [labels.index(g) for g in gold]))
+            rpred = se.rule_tags("organization", tb_)
+            rule_pairs.extend(zip(gold, rpred))
+    return data, rule_pairs
+
+
 FORMAT_SHIFT_MODELS = ("medical-report-segmenter", "full-medical-text",
-                       "header-medical-report", "left-note-medical-report")
+                       "header-medical-report", "left-note-medical-report",
+                       "organization")
 
 
 def format_shift_examples(model: str, lo: int, hi: int):
@@ -418,6 +464,8 @@ def format_shift_examples(model: str, lo: int, hi: int):
                               leftnote.leftnote_line_features,
                               leftnote.label_leftnote_line_rules,
                               leftnote._LL)
+    if model == "organization":
+        return _shifted_sub_org(lo, hi)
     raise ValueError(f"no format-shift tier for {model}")
 
 

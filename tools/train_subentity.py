@@ -159,6 +159,20 @@ def examples(model: str, lo: int, hi: int):
             [se.SUB_LABELS[model].index(g) for g in gold]
 
 
+def _token_errors(W, data, n_labels):
+    n = 0
+    for _text, feats, gold in data:
+        for f, g in zip(feats, gold):
+            best, arg = None, 0
+            for j in range(n_labels):
+                s = sum(W[j][k] for k in f)
+                if best is None or s > best:
+                    best, arg = s, j
+            if arg != g:
+                n += 1
+    return n
+
+
 def train(data, n_labels, margin: float = 1.0):
     """Margin perceptron (update while score(gold) <= score(runner-up) +
     margin). Plain zero-error stopping leaves unseen-signature behavior
@@ -202,12 +216,80 @@ def train(data, n_labels, margin: float = 1.0):
     raise SystemExit(f"{MAX_EPOCHS} epochs without convergence")
 
 
+def train_masked(data, n_labels, masked: frozenset,
+                 margin: float = 1.0, mask_epochs: int = 8):
+    """train() plus the template-dropout phase of tools/train_fields.py:
+    phase 2 trains over twins with the ``masked`` feature ids removed
+    (e.g. the case-class features allcaps/titlecase, which a second
+    grammar family's re-cased letterhead flips wholesale — EVAL.md
+    format-shift tier), keeping the best snapshot whose CLEAN token
+    decode stays error-free. Context-keyword evidence gains standalone
+    weight; family-A decode is unchanged by construction."""
+    W, ep = train(data, n_labels, margin)
+    twins = []
+    for text, feats, gold in data:
+        kept = [[k for k in f if k not in masked] for f in feats]
+        if any(len(a) != len(b) for a, b in zip(kept, feats)):
+            twins.append((text, kept, gold))
+    if not twins:
+        return W, ep
+    best = [row[:] for row in W]
+    best_twin = _token_errors(W, twins, n_labels)
+    print(f"  mask baseline: {best_twin} twin token errors")
+    for mepoch in range(mask_epochs):
+        updates, _ = _one_margin_pass(W, list(data) + twins, n_labels,
+                                      margin)
+        for _ in range(MAX_EPOCHS):      # restore clean zero-error
+            if _token_errors(W, data, n_labels) == 0:
+                break
+            _one_margin_pass(W, data, n_labels, margin)
+        cerr = _token_errors(W, data, n_labels)
+        terr = _token_errors(W, twins, n_labels)
+        print(f"  mask epoch {mepoch}: {cerr} clean / {terr} twin errors")
+        if cerr == 0 and terr < best_twin:
+            best = [row[:] for row in W]
+            best_twin = terr
+        if updates == 0:
+            break
+    print(f"  kept snapshot: 0 clean / {best_twin} twin errors")
+    return best, ep
+
+
+def _one_margin_pass(W, data, n_labels, margin):
+    updates = 0
+    for _text, feats, gold in data:
+        for f, g in zip(feats, gold):
+            s_gold = sum(W[g][k] for k in f)
+            scores = [(sum(W[j][k] for k in f), j)
+                      for j in range(n_labels) if j != g]
+            runner, loser = max(scores)
+            if s_gold <= runner + margin:
+                updates += 1
+                for k in f:
+                    W[g][k] += 1.0
+                    W[loser][k] -= 1.0
+    return updates, None
+
+
+def case_mask() -> frozenset:
+    """Case-class feature ids for the organization mask phase: a second
+    hospital's letterhead re-cases the SAME lines ('SERVICE DE X' ->
+    'Service de X', 'Pôle Y' -> upper), flipping allcaps/titlecase
+    wholesale while every keyword/fold/context feature survives. Shared
+    with tools/evaluate_models.py's refit."""
+    return frozenset({se._SF["allcaps"], se._SF["titlecase"]})
+
+
 def main() -> None:
     out = {}
     for model in se.SUB_LABELS:
         data = list(examples(model, 0, N_TRAIN))
         print(f"{model}: {len(data)} strings")
-        W, ep = train(data, len(se.SUB_LABELS[model]))
+        if model == "organization":
+            W, ep = train_masked(data, len(se.SUB_LABELS[model]),
+                                 case_mask())
+        else:
+            W, ep = train(data, len(se.SUB_LABELS[model]))
         out[model] = {"labels": list(se.SUB_LABELS[model]),
                       "features": list(se.SUB_FEATURES), "W": W,
                       "meta": {"train_strings": len(data),
