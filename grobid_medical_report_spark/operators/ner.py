@@ -437,6 +437,20 @@ def _ner_weights_list() -> list[list[float]]:
 _IB, _IC = _NF["bias"], _NF["cap"]
 _ID, _IP = _NF["digit"], _NF["punct"]
 
+#: per-char shape-code memo for the single-candidate fast path (the char
+#: alphabet is tiny, so this turns 3 str-method calls per token head into
+#: one dict hit on the decode hot path)
+_CHAR_SHAPE: dict[str, int] = {}
+
+
+def _char_shape(c: str) -> int:
+    v = _CHAR_SHAPE.get(c)
+    if v is None:
+        v = (c.isupper()) | (c.isdigit() << 1) | ((not c.isalnum()) << 2)
+        _CHAR_SHAPE[c] = v
+    return v
+
+
 #: (states, token-feature-sets) signature -> decoded global-state path
 _SEG_DECODE_CACHE: dict = {}
 #: (category, token-shape bytes) -> tag tuple, for single-candidate
@@ -505,11 +519,7 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         # and the rest of the feature matrix is a pure function of these
         if len(seg) == 1 and W is None:
             cat = seg[0][4]
-            shapes = bytes(
-                (text[s].isupper())
-                | (text[s].isdigit() << 1)
-                | ((not text[s].isalnum()) << 2)
-                for s, _e in toks)
+            shapes = bytes(_char_shape(text[s]) for s, _e in toks)
             key1 = (cat, shapes, tuple(map(tuple, fmarks)))
             tags = _SINGLE_CACHE.get(key1)
             if tags is None:
