@@ -97,3 +97,16 @@ def test_format_shift_organization_tagger():
     assert r["rules_micro_accuracy"] < 0.9, r["rules_micro_accuracy"]
     # and the fitted path holds what the committed artifact achieves
     assert r["micro_accuracy"] >= 0.9, r["micro_accuracy"]
+
+
+def test_format_shift_patient_tagger():
+    """Prefix-reshape tier: value tokens ride verbatim behind a new label
+    prefix, gold transfers positionally (prefix tokens are O, as A's own
+    label prefixes are). The prefix-invariance training phase
+    (train_subentity.prefix_twins) must beat the scanner twin by a wide
+    margin without any family-B vocabulary."""
+    r = ev.eval_format_shift("patient", n_docs=150)
+    assert r["n_decisions"] > 100
+    assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
+    assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]
+    assert r["micro_accuracy"] >= 0.8, r["micro_accuracy"]

@@ -168,10 +168,14 @@ def _sub_family(model: str):
         return out
 
     def fit(d):
-        # mirror the committed-artifact recipe: organization trains with
-        # the case-mask dropout phase (tools/train_subentity.py)
+        # mirror the committed-artifact recipes (tools/train_subentity.py):
+        # organization trains with the case-mask dropout phase, patient
+        # with the label-prefix invariance twins
         if model == "organization":
             return tsub.train_masked(d, len(labels), tsub.case_mask())[0]
+        if model == "patient":
+            return tsub.train_masked(d, len(labels),
+                                     twins=tsub.prefix_twins(d, model))[0]
         return tsub.train(d, len(labels))[0]
 
     return {"examples": lambda lo, hi: list(tsub.examples(model, lo, hi)),
@@ -445,9 +449,55 @@ def _shifted_sub_org(lo, hi):
     return data, rule_pairs
 
 
+def _shifted_sub_patient(lo, hi):
+    """Family-B tier for the patient token tagger. The transferable
+    rewrites are PREFIX reshapes ('Patient(e) : ' insertion, 'Âge : ',
+    'Date de naissance : ' for 'Né(e) le', 'Adresse : ' for
+    'Demeurant : ') that carry the VALUE tokens verbatim — family-A gold
+    for the value part maps positionally, and the new prefix tokens are
+    O exactly as A's own label prefixes are ('Né(e)'/'le'/'Demeurant'/
+    ':' are all O in A gold). Guarded by verbatim suffix equality;
+    fields whose B form fuses or renames the TYPE phrase (idno 'IPP' ->
+    'Identifiant patient' carries idtype gold ambiguity, sex 'Sexe : M'
+    -> 'Sexe masculin' fuses type+value) are skipped rather than given
+    invented gold."""
+    from grobid_medical_report_spark.corpus import (ZONE_OF, _shift_line,
+                                                    generate_doc)
+    from grobid_medical_report_spark.functions.textnorm import \
+        normalize_space
+    labels = se.SUB_LABELS["patient"]
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        a = generate_doc(i)
+        for j, lab in enumerate(a["line_labels"]):
+            if ZONE_OF.get(lab) != "header" \
+                    or a["line_fields"][j] not in (
+                        "patient", "age", "birthdate", "patient_address"):
+                continue
+            ta = normalize_space(a["spans"][j]["text"])
+            tb_ = normalize_space(
+                _shift_line(ta, lab, a["line_fields"][j], {}))
+            gold_a = se.rule_tags("patient", ta)
+            toks_a = [tok for _s, tok in se.tokens_of(ta)]
+            toks_b = se.tokens_of(tb_)
+            tb_toks = [tok for _s, tok in toks_b]
+            k = 0                      # A's leading O-run (label prefix)
+            while k < len(gold_a) and gold_a[k] == "O":
+                k += 1
+            value_tags = gold_a[k:]
+            npfx = len(tb_toks) - len(value_tags)
+            if npfx < 0 or tb_toks[npfx:] != toks_a[k:]:
+                continue               # not a value-preserving reshape
+            gold = ["O"] * npfx + value_tags
+            data.append((tb_, se.token_features(toks_b),
+                         [labels.index(g) for g in gold]))
+            rule_pairs.extend(zip(gold, se.rule_tags("patient", tb_)))
+    return data, rule_pairs
+
+
 FORMAT_SHIFT_MODELS = ("medical-report-segmenter", "full-medical-text",
                        "header-medical-report", "left-note-medical-report",
-                       "organization")
+                       "organization", "patient")
 
 
 def format_shift_examples(model: str, lo: int, hi: int):
@@ -466,6 +516,8 @@ def format_shift_examples(model: str, lo: int, hi: int):
                               leftnote._LL)
     if model == "organization":
         return _shifted_sub_org(lo, hi)
+    if model == "patient":
+        return _shifted_sub_patient(lo, hi)
     raise ValueError(f"no format-shift tier for {model}")
 
 

@@ -216,21 +216,25 @@ def train(data, n_labels, margin: float = 1.0):
     raise SystemExit(f"{MAX_EPOCHS} epochs without convergence")
 
 
-def train_masked(data, n_labels, masked: frozenset,
-                 margin: float = 1.0, mask_epochs: int = 8):
+def train_masked(data, n_labels, masked: frozenset = frozenset(),
+                 margin: float = 1.0, mask_epochs: int = 8,
+                 twins=None):
     """train() plus the template-dropout phase of tools/train_fields.py:
-    phase 2 trains over twins with the ``masked`` feature ids removed
-    (e.g. the case-class features allcaps/titlecase, which a second
-    grammar family's re-cased letterhead flips wholesale — EVAL.md
-    format-shift tier), keeping the best snapshot whose CLEAN token
-    decode stays error-free. Context-keyword evidence gains standalone
-    weight; family-A decode is unchanged by construction."""
+    phase 2 trains over twins — either dropout twins with the ``masked``
+    feature ids removed (e.g. the case-class features allcaps/titlecase,
+    which a second grammar family's re-cased letterhead flips wholesale)
+    or explicitly supplied ``twins`` (e.g. the label-prefix invariance
+    twins) — keeping the best snapshot whose CLEAN token decode stays
+    error-free. Robustness evidence gains standalone weight; family-A
+    decode is unchanged by construction (EVAL.md noisy / format-shift
+    tiers)."""
     W, ep = train(data, n_labels, margin)
-    twins = []
-    for text, feats, gold in data:
-        kept = [[k for k in f if k not in masked] for f in feats]
-        if any(len(a) != len(b) for a, b in zip(kept, feats)):
-            twins.append((text, kept, gold))
+    if twins is None:
+        twins = []
+        for text, feats, gold in data:
+            kept = [[k for k in f if k not in masked] for f in feats]
+            if any(len(a) != len(b) for a, b in zip(kept, feats)):
+                twins.append((text, kept, gold))
     if not twins:
         return W, ep
     best = [row[:] for row in W]
@@ -271,6 +275,27 @@ def _one_margin_pass(W, data, n_labels, margin):
     return updates, None
 
 
+def prefix_twins(data, model):
+    """Label-prefix invariance augmentation (r5): hospital templates often
+    write a value behind a 'Label : ' prefix ('Âge : 74 ans' where another
+    template says just '74 ans'). Train on neutral '"Champ : " + line'
+    twins with gold ``O O + original`` so the context machine learns that
+    a leading titlecase-word + colon does not change the value tags. The
+    placeholder word is not any grammar family's label vocabulary — this
+    encodes a template-shape prior, not family-B knowledge."""
+    labels = se.SUB_LABELS[model]
+    o = labels.index("O")
+    out = []
+    for text, feats, gold in data:
+        t2 = "Champ : " + text
+        toks2 = se.tokens_of(t2)
+        g2 = [o, o] + list(gold)
+        if len(toks2) != len(g2):
+            continue
+        out.append((t2, se.token_features(toks2), g2))
+    return out
+
+
 def case_mask() -> frozenset:
     """Case-class feature ids for the organization mask phase: a second
     hospital's letterhead re-cases the SAME lines ('SERVICE DE X' ->
@@ -288,6 +313,9 @@ def main() -> None:
         if model == "organization":
             W, ep = train_masked(data, len(se.SUB_LABELS[model]),
                                  case_mask())
+        elif model == "patient":
+            W, ep = train_masked(data, len(se.SUB_LABELS[model]),
+                                 twins=prefix_twins(data, model))
         else:
             W, ep = train(data, len(se.SUB_LABELS[model]))
         out[model] = {"labels": list(se.SUB_LABELS[model]),
