@@ -145,7 +145,10 @@ _BUILDING_FOLDS = {_fold(x) for x in _BUILDING_KW}
 _ASSOC_FOLDS = {_fold(x) for x in _ASSOC_KW}
 _ORG_SELF_FOLDS = {_fold(k): v for k, v in _ORG_SELF_KW.items()}
 _TITLE_FOLDS = {_fold(x) for x in _TITLES}
-_FD5 = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{5}")          # fuzzy postcode
+#: fuzzy postcode; the optional 'F-' head is the international French
+#: postal prefix ('F-75001') — a real-world convention, and its fold is
+#: 't-' (both accepted so the probe survives OCR damage too)
+_FD5 = re.compile(r"(?:[Ff]-|t-)?(?=[^\d]*\d)[0-9oizsb]{5}")
 RE_DATE_SHAPE_F = re.compile(
     r"(?=[^\d]*\d)[0-9oizsb]{1,2}/[0-9oizsb]{1,2}(/[0-9oizsb]{2,4})?,?")
 RE_TIME_SHAPE_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{1,2}h[0-9oizsb]{2},?")

@@ -110,3 +110,16 @@ def test_format_shift_patient_tagger():
     assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
     assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]
     assert r["micro_accuracy"] >= 0.8, r["micro_accuracy"]
+
+
+def test_format_shift_address_tagger():
+    """The comma/postal-prefix reshape ('79 Avenue' for '79, Avenue',
+    'F-21000'): this tier initially caught the fitted path BELOW its
+    rules twin (streetname keyed on the number's trailing comma). The
+    comma-dropout phase (train_subentity.comma_mask) plus the 'F-'
+    postal-prefix acceptance must keep the fitted path on top."""
+    r = ev.eval_format_shift("address", n_docs=150)
+    assert r["n_decisions"] > 100
+    assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
+    assert r["rules_micro_accuracy"] < 0.95, r["rules_micro_accuracy"]
+    assert r["micro_accuracy"] >= 0.95, r["micro_accuracy"]

@@ -176,6 +176,8 @@ def _sub_family(model: str):
         if model == "patient":
             return tsub.train_masked(d, len(labels),
                                      twins=tsub.prefix_twins(d, model))[0]
+        if model == "address":
+            return tsub.train_masked(d, len(labels), tsub.comma_mask())[0]
         return tsub.train(d, len(labels))[0]
 
     return {"examples": lambda lo, hi: list(tsub.examples(model, lo, hi)),
@@ -495,9 +497,40 @@ def _shifted_sub_patient(lo, hi):
     return data, rule_pairs
 
 
+def _shifted_sub_address(lo, hi):
+    """Family-B tier for the address token tagger: both leftnote address
+    rewrites are TOKEN-COUNT-PRESERVING ('F-' postal prefix fuses onto
+    the postcode token, the street comma drops from its number token),
+    so family-A gold maps positionally; unchanged address lines ride
+    along as the in-distribution control."""
+    from grobid_medical_report_spark.corpus import (ZONE_OF, _shift_line,
+                                                    generate_doc)
+    from grobid_medical_report_spark.functions.textnorm import \
+        normalize_space
+    labels = se.SUB_LABELS["address"]
+    data, rule_pairs = [], []
+    for i in range(lo, hi):
+        a = generate_doc(i)
+        for j, lab in enumerate(a["line_labels"]):
+            if ZONE_OF.get(lab) != "leftnote" \
+                    or not a["line_fields"][j].startswith("address"):
+                continue
+            ta = normalize_space(a["spans"][j]["text"])
+            tb_ = normalize_space(
+                _shift_line(ta, lab, a["line_fields"][j], {}))
+            gold = se.rule_tags("address", ta)
+            toks_b = se.tokens_of(tb_)
+            if len(toks_b) != len(gold):
+                continue               # count-changing rewrite: no gold
+            data.append((tb_, se.token_features(toks_b),
+                         [labels.index(g) for g in gold]))
+            rule_pairs.extend(zip(gold, se.rule_tags("address", tb_)))
+    return data, rule_pairs
+
+
 FORMAT_SHIFT_MODELS = ("medical-report-segmenter", "full-medical-text",
                        "header-medical-report", "left-note-medical-report",
-                       "organization", "patient")
+                       "organization", "patient", "address")
 
 
 def format_shift_examples(model: str, lo: int, hi: int):
@@ -518,6 +551,8 @@ def format_shift_examples(model: str, lo: int, hi: int):
         return _shifted_sub_org(lo, hi)
     if model == "patient":
         return _shifted_sub_patient(lo, hi)
+    if model == "address":
+        return _shifted_sub_address(lo, hi)
     raise ValueError(f"no format-shift tier for {model}")
 
 

@@ -305,6 +305,17 @@ def case_mask() -> frozenset:
     return frozenset({se._SF["allcaps"], se._SF["titlecase"]})
 
 
+def comma_mask() -> frozenset:
+    """Comma-derived feature ids for the address mask phase: commas are
+    the most fragile glyphs — OCR drops them, and a second hospital's
+    template writes '79 Avenue' for '79, Avenue' — while the digit shape
+    and the street keyword survive. Dropout twins without the comma
+    evidence keep streetnumber/streetname decodable either way. Shared
+    with tools/evaluate_models.py's refit."""
+    return frozenset({se._SF["endcomma"], se._SF["post_comma"],
+                      se._SF["seg_post_comma"]})
+
+
 def main() -> None:
     out = {}
     for model in se.SUB_LABELS:
@@ -316,6 +327,9 @@ def main() -> None:
         elif model == "patient":
             W, ep = train_masked(data, len(se.SUB_LABELS[model]),
                                  twins=prefix_twins(data, model))
+        elif model == "address":
+            W, ep = train_masked(data, len(se.SUB_LABELS[model]),
+                                 comma_mask())
         else:
             W, ep = train(data, len(se.SUB_LABELS[model]))
         out[model] = {"labels": list(se.SUB_LABELS[model]),
