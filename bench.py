@@ -267,7 +267,9 @@ def main() -> None:
             "| r5 run2 (org case-mask, widened slate) | 19.15 | 2611 | "
             "77.24 | 1.009 |\n"
             "| r5 run3 (same code, window check) | 19.56 | 2556 | "
-            "72.42 | 0.926 |\n\n"
+            "72.42 | 0.926 |\n"
+            "| r5 run4 (final tree; kernel 909/core) | 19.47 | 2568 | "
+            "78.77 | 1.011 |\n\n"
             "r3 run3 beats r1's 4151 docs/s record despite this window's "
             "low-core gauge running ~1.4x slower than r1's. The r4 corpus "
             "is measurably HARDER (the grammar emits the reference's full "
