@@ -415,10 +415,14 @@ def x_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     schema = "doc_a string, doc_b string, jaccard double"
-    if os.path.isdir(f"{root}/out"):
-        # select the data columns explicitly: the idempotent writer keys
-        # each micro-batch under out/epoch=N, which surfaces `epoch` as a
-        # partition column on read
+    # the idempotent writer keys each micro-batch under out/epoch=N (which
+    # surfaces `epoch` as a partition column on read); if every epoch's
+    # verified pair set was empty, out/ may exist with epoch dirs holding
+    # NO part files, and the read raises 'unable to infer schema' — glob
+    # for actual parquet parts before reading (ADVICE r5)
+    import glob
+
+    if glob.glob(f"{root}/out/**/*.parquet", recursive=True):
         rows = [tuple(r) for r in
                 spark.read.parquet(f"{root}/out")
                      .select("doc_a", "doc_b", "jaccard").collect()]

@@ -104,7 +104,7 @@ def _sentence(rng: random.Random, p: _Para) -> None:
         p.ent("medicament", rng.choice(lex.MEDICAMENT)).lit(" jusqu'au ")
         p.ent("date", _rand_date(rng)).lit(".")
     elif t == 3:
-        title = rng.choice(["Madame", "Monsieur"])
+        title = rng.choice(lex.CIVILITIES)
         name = f"{title} {rng.choice(lex.FIRST_NAMES)} {rng.choice(lex.FIRST_NAMES)} {rng.choice(lex.LAST_NAMES)}"
         p.ent("persname", name).lit(", ")
         p.ent("perstype", rng.choice(lex.PERSTYPE)).lit(", âgée de ")
@@ -399,7 +399,7 @@ def generate_doc(i: int, layout: bool = False) -> dict[str, Any]:
     psex = rng.choice(["F", "M"]) if rng.random() < 0.6 else ""
     if psex:
         emit("header", f"Sexe : {psex}", field="sex")
-    ptitle = rng.choice(["Madame", "Monsieur"])
+    ptitle = rng.choice(lex.CIVILITIES)
     pf, pm, pl = (rng.choice(lex.FIRST_NAMES), rng.choice(lex.FIRST_NAMES),
                   rng.choice(lex.LAST_NAMES))
     ppers = f"{ptitle} {pf} {pm} {pl}"

@@ -36,6 +36,13 @@ LAST_NAMES = [
 
 PERSON_TITLES = ["Dr", "Docteur", "Pr", "Professeur", "Madame", "Monsieur", "Mme", "M."]
 
+#: patient civility words the corpus grammar draws from — the single
+#: source of truth for every fold-based civility probe (the header
+#: featurizer derives its suppression set from THIS list via ocr_fold, so
+#: adding a civility here keeps the patient-vs-patient_address compound
+#: feature sound instead of silently reopening the confusion; ADVICE r5)
+CIVILITIES = ["Madame", "Monsieur"]
+
 ROLES = [
     "Opérateur", "Assistant", "Anesthésiste", "Chirurgien", "Interne",
     "Chef de Service", "Sage-femme", "Kinésithérapeute",

@@ -121,6 +121,18 @@ _RE_CAPS_RUN = re.compile(r"\b[A-ZÀ-ÖØ-Þ]{2,}\b")
 _F_STREET_TOK = tuple(ocr_fold(w) for w in
                       ("avenue", "rue", "boulevard", "place", "chemin",
                        "allée", "impasse"))
+#: civility folds DERIVED from the corpus civility lexicon (ADVICE r5:
+#: hard-coded 'nonsieur'/'nodone' literals would silently miss any
+#: civility added to the grammar later, reopening the
+#: patient-vs-patient_address confusion c_street_tok exists to prevent)
+from ..functions.lexicon import CIVILITIES as _CIVILITIES  # noqa: E402
+
+_F_CIVILITY = tuple(ocr_fold(w) for w in _CIVILITIES)
+_F_CIVILITY_PREFIX = tuple(c + " " for c in _F_CIVILITY)
+
+
+def _has_civility(ft: str) -> bool:
+    return any(c in ft for c in _F_CIVILITY)
 
 
 def header_line_features(t: str, largest: bool = False) -> list[int]:
@@ -163,7 +175,7 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
         f.append(_HF["f_age"])
     if ft.startswith("deneuront"):
         f.append(_HF["f_paddr"])
-    if ft.startswith(("nodone ", "nonsieur ")):
+    if ft.startswith(_F_CIVILITY_PREFIX):
         f.append(_HF["f_patient"])
     if ft.startswith(("dr ", "dr. ", "doeteur ", "pr ", "pr. ")) \
             and "," in t:
@@ -178,7 +190,7 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
         f.append(_HF["c_date_tok"])
     if _RE_ANS_TOK_F.search(ft):
         f.append(_HF["c_ans_tok"])
-    if "nonsieur" in ft or "nodone" in ft:
+    if _has_civility(ft):
         f.append(_HF["c_title_tok"])
     if _RE_DR_TOK_F.search(ft):
         f.append(_HF["c_dr_tok"])
@@ -195,7 +207,7 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
     # full patient line — the compound can, and it is label-intrinsic (a
     # patient_address line never names the patient, whatever the prefix)
     if has_digit and any(kw in ft for kw in _F_STREET_TOK) \
-            and "nonsieur" not in ft and "nodone" not in ft:
+            and not _has_civility(ft):
         f.append(_HF["c_street_tok"])
     return f
 

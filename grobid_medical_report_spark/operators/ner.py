@@ -517,10 +517,24 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         # outcome is fully determined by (category, per-token shape codes,
         # fuzzy-mark signature): cb fires at token 0 and ci on the rest,
         # and the rest of the feature matrix is a pure function of these
-        if len(seg) == 1 and W is None:
+        ci0 = tstart.get(seg[0][0]) if (len(seg) == 1 and W is None) else None
+        if ci0 is not None:
             cat = seg[0][4]
             shapes = bytes(_char_shape(text[s]) for s, _e in toks)
-            key1 = (cat, shapes, tuple(map(tuple, fmarks)))
+            # since r5, fuzzy-only spans can widen the interval past the
+            # exact candidate, so (cat, shapes, fmarks) no longer pins the
+            # cb_/ci_ placement — include the candidate's token-relative
+            # span (start index + covered-token count) in the key, or two
+            # intervals with identical shapes/fmarks but shifted candidates
+            # would alias to one cache entry and replay the wrong tags
+            # (candidate start not on a token boundary → restricted decode
+            # below, which already skips unalignable candidates)
+            ce = seg[0][3]
+            cj = ci0 + 1
+            while cj < n and toks[cj][1] <= ce:
+                cj += 1
+            key1 = (cat, ci0, cj - ci0, shapes,
+                    tuple(map(tuple, fmarks)))
             tags = _SINGLE_CACHE.get(key1)
             if tags is None:
                 X = token_features(text, toks, seg)

@@ -24,26 +24,44 @@ _STATE_SCHEMA = "start double, last double, n int, total double"
 
 
 def _sessionize(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
-                state: GroupState) -> Iterator["pd.DataFrame"]:
+                state: GroupState,
+                tz: str = "UTC") -> Iterator["pd.DataFrame"]:
     """Gap-based sessions with cross-batch state: events extend the open
-    session; a gap (or state timeout) closes and emits it."""
+    session; a gap (or state timeout) closes and emits it.
+
+    ``tz`` is the Spark session timezone (captured at plan-build time):
+    Arrow renders timestamps into pandas as tz-NAIVE values in that zone,
+    while ``Timestamp.timestamp()`` interprets naive values as UTC and
+    ``setTimeoutTimestamp`` is compared against the true-UTC watermark —
+    without the explicit ``tz_localize`` the timeout horizon would be
+    skewed by the zone offset on any non-UTC session (ADVICE r5)."""
     import pandas as pd
 
     (user_id,) = key
+
+    def render(epoch: float):
+        # true-UTC epoch -> tz-naive value in the session zone (what Spark
+        # expects back for a timestamp column); round to MICROSECONDS —
+        # float-epoch imprecision leaves ns residue that Arrow's safe cast
+        # to timestamp[us] rejects (datetime.utcfromtimestamp rounded
+        # implicitly; pd.Timestamp keeps ns)
+        return (pd.Timestamp(epoch, unit="s", tz="UTC").tz_convert(tz)
+                .tz_localize(None).round("us"))
+
     if state.hasTimedOut:
         start, last, n, total = state.get
         state.remove()
         yield pd.DataFrame([{
             "user_id": user_id,
-            "session_start": dt.datetime.utcfromtimestamp(start),
-            "session_end": dt.datetime.utcfromtimestamp(last),
+            "session_start": render(start),
+            "session_end": render(last),
             "n_events": int(n), "total_value": float(total)}])
         return
 
     ts_list: list[float] = []
     val_list: list[float] = []
     for pdf in pdfs:
-        ts_list += [t.timestamp() for t in pdf["ts"]]
+        ts_list += [t.tz_localize(tz).timestamp() for t in pdf["ts"]]
         val_list += list(pdf["value"])
     order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
 
@@ -59,8 +77,8 @@ def _sessionize(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
             start, last, n, total = t, t, 0, 0.0
         elif t - last > SESSION_GAP_SEC:
             closed.append({"user_id": user_id,
-                           "session_start": dt.datetime.utcfromtimestamp(start),
-                           "session_end": dt.datetime.utcfromtimestamp(last),
+                           "session_start": render(start),
+                           "session_end": render(last),
                            "n_events": int(n), "total_value": float(total)})
             start, last, n, total = t, t, 0, 0.0
         n += 1
@@ -85,10 +103,15 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
            .schema("event_id bigint, ts timestamp, user_id bigint, "
                    "event_type string, value double, props string")
            .parquet(input_dir))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+
+    def session_fn(key, pdfs, state, _tz=tz):
+        return _sessionize(key, pdfs, state, _tz)
+
     sessions = (src.withWatermark("ts", "1 hour")
                 .groupBy("user_id")
                 .applyInPandasWithState(
-                    _sessionize, outputStructType=SESSION_SCHEMA,
+                    session_fn, outputStructType=SESSION_SCHEMA,
                     stateStructType=_STATE_SCHEMA,
                     outputMode="append",
                     timeoutConf=GroupStateTimeout.EventTimeTimeout))
@@ -213,6 +236,7 @@ ND_STATE_TTL_MS = 24 * 3600 * 1000
 def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
                      state: GroupState,
                      ttl_ms: int = ND_STATE_TTL_MS,
+                     tz: str = "UTC",
                      ) -> Iterator["pd.DataFrame"]:
     """Keyed by (band, h1, h2): every new arrival emits one CANDIDATE row
     per stored reference doc in its bucket — exactly the batch LSH's
@@ -262,7 +286,11 @@ def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
     # alive until the watermark passes its ingest time + TTL; a bucket
     # nothing hashes into is dropped on a later micro-batch's timeout pass
     if ts_max is not None:
-        state.setTimeoutTimestamp(int(ts_max.timestamp() * 1000) + ttl_ms)
+        # ts_max arrives tz-naive in the session zone while the watermark
+        # is true-UTC epoch millis — localize explicitly or the TTL horizon
+        # is skewed by the zone offset on non-UTC sessions (ADVICE r5)
+        state.setTimeoutTimestamp(
+            int(ts_max.tz_localize(tz).timestamp() * 1000) + ttl_ms)
     yield pd.DataFrame(out, columns=["doc_id", "dup_of", "band",
                                      "est_jaccard"])
 
@@ -301,8 +329,10 @@ def stream_near_dup_candidates(spark: SparkSession, input_dir: str,
              .withWatermark("ts", "0 seconds"))
 
     # closure (pickled by value) so the TTL reaches the Python workers
-    def bucket_fn(key, pdfs, state, _ttl=state_ttl_ms):
-        return _near_dup_bucket(key, pdfs, state, _ttl)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+
+    def bucket_fn(key, pdfs, state, _ttl=state_ttl_ms, _tz=tz):
+        return _near_dup_bucket(key, pdfs, state, _ttl, _tz)
 
     cand = (bands.groupBy("band", "h1", "h2")
             .applyInPandasWithState(

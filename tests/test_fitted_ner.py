@@ -93,3 +93,28 @@ def test_retraining_converges_smoke():
     W, _ = tn.train(examples)
     for X, gold in examples:
         assert (np.array(ner._bio_decode(X @ W.T)) == gold).all()
+
+
+def test_single_cache_key_distinguishes_candidate_placement():
+    """ADVICE r5 (medium): since r5 fuzzy-only spans can widen a merged
+    interval past its single exact candidate, so (cat, shapes, fmarks) no
+    longer pins the cb_/ci_ placement — two intervals identical in shapes
+    and fuzzy marks but with the candidate at different token offsets must
+    NOT share a _SINGLE_CACHE entry.  '(03/0z' puts the value candidate at
+    token 0 of a (digit,punct,digit) fuzzy-date interval; '0z/03 mg' puts
+    it at token 2 of an interval with the same shapes and fuzzy marks."""
+    t_a, t_b = "(03/0z", "0z/03 mg"
+    ner._SINGLE_CACHE.clear()
+    seq_a = ner.decode_entities(t_a)          # seeds the cache
+    seq_b = ner.decode_entities(t_b)          # must not replay t_a's tags
+    # decode == memo-free whole-sequence decode, in cache-polluted order
+    for t, seq in ((t_a, seq_a), (t_b, seq_b)):
+        full = ner.decode_entities_full(t)
+        assert [(e["type"], e["start"], e["end"]) for e in seq] == \
+               [(e["type"], e["start"], e["end"]) for e in full], t
+    # the two value intervals hash to DISTINCT cache entries
+    value_keys = [k for k in ner._SINGLE_CACHE if k[0] == "value"]
+    assert len(value_keys) == 2, value_keys
+    # and the key carries the candidate's token-relative placement
+    placements = {(k[1], k[2]) for k in value_keys}
+    assert placements == {(0, 1), (2, 1)}, placements
