@@ -94,7 +94,25 @@ HEADER_FEATURES = ("bias", "r_docnum", "r_dateline", "r_medic", "r_idno",
                    # date travels with an ALL-CAPS placename, a birthdate's
                    # does not, and a patient address carries a street
                    # keyword + number whatever the label prefix says
-                   "c_date_place", "c_date_noplace", "c_street_tok")
+                   "c_date_place", "c_date_noplace", "c_street_tok",
+                   # r6: the line's OWN doctype-keyword fold probe (closed
+                   # reference vocabulary, lexicon.DOCTYPES) — family B's
+                   # capitalize()d doctype is otherwise a bias-only vector
+                   "c_doctype_kw",
+                   # r6 NEIGHBOR-context features (VERDICT r5 item 1): the
+                   # reference disambiguates docnum vs idno POSITIONALLY
+                   # (docnum leads the header, idno rides with the patient
+                   # block — HeaderMedicalParser.resultExtraction:1229-1349).
+                   # Two bare 9-digit runs are indistinguishable line-local
+                   # once a second grammar family drops the A keywords;
+                   # their NEIGHBORS are not: docnum's next line is the
+                   # doctype, idno's prev is a praticien line and its next
+                   # the sex/patient block. Neighbor CONTENT probes (not
+                   # absolute positions) survive family B's cyclic block
+                   # rotation, which preserves all but one adjacency.
+                   "n_prev_doctype", "n_next_doctype",
+                   "n_prev_dr", "n_next_dr",
+                   "n_prev_patientish", "n_next_patientish")
 _HL = {b: i for i, b in enumerate(HEADER_LABELS)}
 _HF = {f: i for i, f in enumerate(HEADER_FEATURES)}
 
@@ -135,8 +153,53 @@ def _has_civility(ft: str) -> bool:
     return any(c in ft for c in _F_CIVILITY)
 
 
-def header_line_features(t: str, largest: bool = False) -> list[int]:
+#: folded doctype phrases (closed reference vocabulary, lexicon.DOCTYPES) —
+#: the fold is case-insensitive and OCR-damage-tolerant, so the probe fires
+#: on family A's ALL-CAPS doctype, family B's capitalize()d form, and the
+#: noise tier's substituted characters alike
+from ..functions.lexicon import DOCTYPES as _DOCTYPES  # noqa: E402
+
+_F_DOCTYPE = tuple(ocr_fold(w) for w in _DOCTYPES)
+
+_PROBE_DOCTYPE, _PROBE_DR, _PROBE_PATIENTISH = 1, 2, 4
+
+
+@lru_cache(maxsize=131072)
+def _neighbor_probe(t: str) -> int:
+    """Content bitmask of a header-zone line, read by its NEIGHBORS'
+    feature vectors (n_prev_*/n_next_*). Cached per distinct line text —
+    each line is folded once however many neighbors read it."""
+    if not t:
+        return 0
+    ft = ocr_fold(t)
+    bits = 0
+    if any(d in ft for d in _F_DOCTYPE):
+        bits |= _PROBE_DOCTYPE
+    if _RE_DR_TOK_F.search(ft):
+        bits |= _PROBE_DR
+    if _has_civility(ft) or ft.startswith("sexe") or "ne(e)" in ft:
+        bits |= _PROBE_PATIENTISH
+    return bits
+
+
+def header_line_features(t: str, largest: bool = False,
+                         prev: str = "", nxt: str = "") -> list[int]:
+    """``prev``/``nxt`` are the neighboring header-ZONE lines ('' at the
+    zone boundary) — see the n_* feature comment."""
     f = [_HF["bias"]]
+    pb, nb = _neighbor_probe(prev), _neighbor_probe(nxt)
+    if pb & _PROBE_DOCTYPE:
+        f.append(_HF["n_prev_doctype"])
+    if nb & _PROBE_DOCTYPE:
+        f.append(_HF["n_next_doctype"])
+    if pb & _PROBE_DR:
+        f.append(_HF["n_prev_dr"])
+    if nb & _PROBE_DR:
+        f.append(_HF["n_next_dr"])
+    if pb & _PROBE_PATIENTISH:
+        f.append(_HF["n_prev_patientish"])
+    if nb & _PROBE_PATIENTISH:
+        f.append(_HF["n_next_patientish"])
     if RE_DOCNUM.fullmatch(t):
         f.append(_HF["r_docnum"])
     if RE_DATELINE.fullmatch(t):
@@ -209,6 +272,8 @@ def header_line_features(t: str, largest: bool = False) -> list[int]:
     if has_digit and any(kw in ft for kw in _F_STREET_TOK) \
             and not _has_civility(ft):
         f.append(_HF["c_street_tok"])
+    if any(d in ft for d in _F_DOCTYPE):
+        f.append(_HF["c_doctype_kw"])
     return f
 
 
@@ -253,12 +318,13 @@ def _header_weights() -> list[list[float]]:
 
 
 @lru_cache(maxsize=131072)
-def label_header_line_fitted(t: str, largest: bool = False) -> str:
-    # pure in (t, largest): the committed weights load once per process
-    # (tests/test_packaging.py pins that) and header-zone lines draw from
-    # a finite grammar that repeats heavily across documents
+def label_header_line_fitted(t: str, largest: bool = False,
+                             prev: str = "", nxt: str = "") -> str:
+    # pure in (t, largest, prev, nxt): the committed weights load once per
+    # process (tests/test_packaging.py pins that) and header-zone lines
+    # draw from a finite grammar that repeats heavily across documents
     WL = _header_weights()
-    feats = header_line_features(t, largest)
+    feats = header_line_features(t, largest, prev, nxt)
     best, arg = None, 0
     for j in range(len(HEADER_LABELS)):
         s = 0.0
@@ -313,9 +379,14 @@ def parse_header_zone(lines: list[str],
     # fitted-model mispredict on an out-of-distribution line must DEGRADE
     # to the 'note' action (like the rules cascade), not raise and fail the
     # whole doc row (ADVICE r2: IndexError/AttributeError -> S3 error)
-    for li, raw in enumerate(lines):
-        t = normalize_space(raw)
-        lab = label_fn(t, li in largest)
+    norm = [normalize_space(r) for r in lines]
+    for li, t in enumerate(norm):
+        if use_rules:
+            lab = label_fn(t, li in largest)
+        else:
+            lab = label_fn(t, li in largest,
+                           norm[li - 1] if li else "",
+                           norm[li + 1] if li + 1 < len(norm) else "")
         if lab == "docnum" and "°" in t:
             h["docnum"] = merge_field(h["docnum"], t.split("°", 1)[1].strip())
             continue

@@ -70,15 +70,28 @@ def test_labels_survive_and_fields_travel_with_spans():
 
 
 def test_format_shift_tier_discriminates():
-    """Fitted-on-A scored-on-B must sit well below the clean tier's 1.0
-    (the tier can fail) while staying >= the rules twin (the fitted model
-    generalizes at least as well as the hand-written cascade)."""
+    """Fitted-on-A scored-on-B must stay >= the rules twin (the fitted
+    model generalizes at least as well as the hand-written cascade), and
+    the tier must be FALSIFIABLE: the rules twin — which is exactly the
+    family-A surface knowledge — collapses on family B, so a model that
+    merely memorized A's templates would fail here too. (r6: the fitted
+    header model reaches 1.0 on B via label-intrinsic content + neighbor
+    features learned on A alone — VERDICT r5 item 1 — so the old
+    'fitted < 0.995' guard is retired in favor of the rules-collapse
+    falsifiability check.)"""
     for model in ("header-medical-report", "left-note-medical-report"):
         r = ev.eval_format_shift(model, n_docs=150)
         if model == "header-medical-report":
-            # every header line shape is rewritten in family B — a perfect
-            # score here would mean the tier cannot fail
-            assert r["micro_accuracy"] < 0.995, r["micro_accuracy"]
+            # every header line shape is rewritten in family B — the tier
+            # bites: the A-template rules cascade scores near zero on it
+            assert r["rules_micro_accuracy"] < 0.5, \
+                r["rules_micro_accuracy"]
+            # and the fitted model's A-learned content/neighbor evidence
+            # transfers (VERDICT r5 item 1 target: macro F1 >= 0.95 with
+            # docnum and idno both > 0.6)
+            assert r["macro_f1"] >= 0.95, r["macro_f1"]
+            assert r["per_label"]["docnum"]["f1"] > 0.6, r["per_label"]
+            assert r["per_label"]["idno"]["f1"] > 0.6, r["per_label"]
         assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9, \
             (model, r["micro_accuracy"], r["rules_micro_accuracy"])
         assert r["n_decisions"] > 100

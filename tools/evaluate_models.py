@@ -231,7 +231,8 @@ def _noisy_seg(lo, hi, noise):
     return data, rule_pairs
 
 
-def _noisy_lines(lo, hi, noise, zone, feat_fn, rule_fn, labels, idx):
+def _noisy_lines(lo, hi, noise, zone, feat_fn, rule_fn, labels, idx,
+                 neighbors=False):
     data, rule_pairs = [], []
     from grobid_medical_report_spark.corpus import ZONE_OF, generate_doc
     from grobid_medical_report_spark.functions.textnorm import \
@@ -239,13 +240,21 @@ def _noisy_lines(lo, hi, noise, zone, feat_fn, rule_fn, labels, idx):
     for i in range(lo, hi):
         nrng = _corpus.noise_rng(i)
         d = generate_doc(i)
+        golds, cts = [], []
         for j, lab in enumerate(d["line_labels"]):
             if ZONE_OF[lab] != zone:
                 continue
-            gold = d["line_fields"][j]
+            golds.append(d["line_fields"][j])
             t = normalize_space(d["spans"][j]["text"])
-            ct = _corpus.corrupt_text(t, nrng, noise, spacing=True)
-            data.append((feat_fn(ct), idx[gold]))
+            cts.append(_corpus.corrupt_text(t, nrng, noise, spacing=True))
+        for k, (gold, ct) in enumerate(zip(golds, cts)):
+            if neighbors:    # header featurizer reads zone neighbors (r6)
+                feats = feat_fn(ct, False,
+                                cts[k - 1] if k else "",
+                                cts[k + 1] if k + 1 < len(cts) else "")
+            else:
+                feats = feat_fn(ct)
+            data.append((feats, idx[gold]))
             rule_pairs.append((gold, rule_fn(ct)))
     return data, rule_pairs
 
@@ -380,7 +389,7 @@ def _shifted_seg(lo, hi):
     return data, rule_pairs
 
 
-def _shifted_lines(lo, hi, zone, feat_fn, rule_fn, idx):
+def _shifted_lines(lo, hi, zone, feat_fn, rule_fn, idx, neighbors=False):
     from grobid_medical_report_spark.corpus import (ZONE_OF, generate_doc,
                                                     shift_format)
     from grobid_medical_report_spark.functions.textnorm import \
@@ -388,12 +397,20 @@ def _shifted_lines(lo, hi, zone, feat_fn, rule_fn, idx):
     data, rule_pairs = [], []
     for i in range(lo, hi):
         d = shift_format(generate_doc(i), i)
+        golds, texts = [], []
         for j, lab in enumerate(d["line_labels"]):
             if ZONE_OF[lab] != zone:
                 continue
-            gold = d["line_fields"][j]
-            t = normalize_space(d["spans"][j]["text"])
-            data.append((feat_fn(t), idx[gold]))
+            golds.append(d["line_fields"][j])
+            texts.append(normalize_space(d["spans"][j]["text"]))
+        for k, (gold, t) in enumerate(zip(golds, texts)):
+            if neighbors:    # header featurizer reads zone neighbors (r6)
+                feats = feat_fn(t, False,
+                                texts[k - 1] if k else "",
+                                texts[k + 1] if k + 1 < len(texts) else "")
+            else:
+                feats = feat_fn(t)
+            data.append((feats, idx[gold]))
             rule_pairs.append((gold, rule_fn(t)))
     return data, rule_pairs
 
@@ -541,7 +558,8 @@ def format_shift_examples(model: str, lo: int, hi: int):
         return _shifted_body(lo, hi)
     if model == "header-medical-report":
         return _shifted_lines(lo, hi, "header", header.header_line_features,
-                              header.label_header_line_rules, header._HL)
+                              header.label_header_line_rules, header._HL,
+                              neighbors=True)
     if model == "left-note-medical-report":
         return _shifted_lines(lo, hi, "leftnote",
                               leftnote.leftnote_line_features,
@@ -586,7 +604,8 @@ def noisy_examples(model: str, lo: int, hi: int, noise: float):
         return _noisy_lines(lo, hi, noise, "header",
                             header.header_line_features,
                             header.label_header_line_rules,
-                            header.HEADER_LABELS, header._HL)
+                            header.HEADER_LABELS, header._HL,
+                            neighbors=True)
     if model == "left-note-medical-report":
         return _noisy_lines(lo, hi, noise, "leftnote",
                             leftnote.leftnote_line_features,

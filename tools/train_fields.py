@@ -54,11 +54,14 @@ def header_examples(lo: int, hi: int):
                 if sizes and max(sizes) - min(sizes) >= 3.0:
                     mx = max(sizes)
                     largest = {k for k, s in enumerate(sizes) if s == mx}
+            texts = [normalize_space(d["spans"][j]["text"]) for j in idx]
             for k, j in enumerate(idx):
-                t = normalize_space(d["spans"][j]["text"])
                 gold = d["line_fields"][j]
                 assert gold in header.HEADER_LABELS, (i, j, gold)
-                yield (header.header_line_features(t, k in largest),
+                yield (header.header_line_features(
+                           texts[k], k in largest,
+                           texts[k - 1] if k else "",
+                           texts[k + 1] if k + 1 < len(texts) else ""),
                        header._HL[gold])
 
 
