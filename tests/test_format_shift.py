@@ -136,3 +136,40 @@ def test_format_shift_address_tagger():
     assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
     assert r["rules_micro_accuracy"] < 0.95, r["rules_micro_accuracy"]
     assert r["micro_accuracy"] >= 0.95, r["micro_accuracy"]
+
+
+def test_front_flag_resolution_extensionally_identical_on_family_a():
+    """The r6 content-resolved front flags (segmenter plain path) must be
+    EXTENSIONALLY IDENTICAL to the raw template flags on family A — the
+    no-retrain rule: zero generated front lines hit the fallback or the
+    two refinements, so clean decode and the committed weights are
+    untouched (same argument as the r5 page-shape union)."""
+    from grobid_medical_report_spark.corpus import ZONE_OF, generate_doc
+    from grobid_medical_report_spark.operators import segmenter as seg
+
+    checked = 0
+    for i in range(200):
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            if ZONE_OF[lab] not in ("header", "leftnote"):
+                continue
+            for line in d["spans"][j]["text"].split("\n"):
+                assert seg._front_flags(line) == \
+                    seg._front_flags_resolved(line), line
+                checked += 1
+    assert checked > 2000
+
+
+def test_format_shift_segmenter_layout_and_plain():
+    """VERDICT r5 item 2 targets: with the x attribute driving the front
+    left/hdr split on layout views (the reference's left note IS the
+    left-margin column, LeftNoteMedicalParser.java:75-173) and the
+    content-resolved fallback on plain views, the B-side header/leftnote
+    confusion closes: pooled F1 >= 0.9 on both labels, micro >= 0.97."""
+    r = ev.eval_format_shift("medical-report-segmenter", n_docs=150)
+    assert r["micro_accuracy"] >= 0.97, r["micro_accuracy"]
+    assert r["per_label"]["header"]["f1"] >= 0.9, r["per_label"]["header"]
+    assert r["per_label"]["leftnote"]["f1"] >= 0.9, \
+        r["per_label"]["leftnote"]
+    # the tier still bites: the A-template rules cascade fails on B
+    assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]

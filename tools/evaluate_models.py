@@ -369,23 +369,39 @@ def _shifted_seg(lo, hi):
                                                     shift_format)
     data, rule_pairs = [], []
     for i in range(lo, hi):
-        d = shift_format(generate_doc(i), i)
-        texts = [sp["text"] for sp in d["spans"]]
-        is_media = np.array([sp["kind"] == "media" for sp in d["spans"]])
-        gold = []
-        for j, lab in enumerate(d["line_labels"]):
-            z = ZONE_OF[lab]
-            if z == "annex":
-                z = ("annex_b" if not is_media[j]
-                     and seg.RE_ANNEX_START.match(texts[j]) else "annex_i")
-            gold.append(seg._Z[z])
-        X = seg.line_features(texts, is_media, True, None)
-        gate = seg.annex_marker_mask(texts, is_media)
-        data.append((X, gate, np.array(gold)))
-        rpred = seg.segment_doc(texts, is_media, True, None, use_rules=True)
-        for g, p in zip(gold, rpred):
-            rule_pairs.append(
-                (seg._OUT.get(seg.STATES[g], seg.STATES[g]), p))
+        # BOTH corpus modes, mirroring the clean tier's training views
+        # (r6, VERDICT r5 item 2): the layout view carries the x attribute
+        # through the shift — the geometric left-margin signal the
+        # reference itself uses for the left note
+        for layout_mode in (False, True):
+            d = shift_format(generate_doc(i, layout=layout_mode), i)
+            texts = [sp["text"] for sp in d["spans"]]
+            is_media = np.array([sp["kind"] == "media"
+                                 for sp in d["spans"]])
+            lay = None
+            if layout_mode:
+                lay = {"size": np.array([sp["font_size"]
+                                         for sp in d["spans"]]),
+                       "bold": np.array([sp["bold"] for sp in d["spans"]]),
+                       "x": np.array([sp["x"] for sp in d["spans"]]),
+                       "font": np.array([sp["font"] for sp in d["spans"]],
+                                        dtype=object)}
+            gold = []
+            for j, lab in enumerate(d["line_labels"]):
+                z = ZONE_OF[lab]
+                if z == "annex":
+                    z = ("annex_b" if not is_media[j]
+                         and seg.RE_ANNEX_START.match(texts[j])
+                         else "annex_i")
+                gold.append(seg._Z[z])
+            X = seg.line_features(texts, is_media, True, lay)
+            gate = seg.annex_marker_mask(texts, is_media)
+            data.append((X, gate, np.array(gold)))
+            rpred = seg.segment_doc(texts, is_media, True, lay,
+                                    use_rules=True)
+            for g, p in zip(gold, rpred):
+                rule_pairs.append(
+                    (seg._OUT.get(seg.STATES[g], seg.STATES[g]), p))
     return data, rule_pairs
 
 
