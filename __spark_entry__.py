@@ -479,30 +479,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin a few
     # long-tail entries that were OUTSIDE every previous round's sampled
     # 50-prefix right behind the extraction oracles, so the driver's gate
-    # covers never-sampled entries over successive rounds. r5 slate
-    # (VERDICT r4 next-round item 3): the two oracle-backed curation
-    # queries born outside the r4 sample, plus rows-only entries that have
-    # never had a driver CORRECTNESS row in any round — BPE training,
-    # winnowing pairs (oracle-backed as of r5, golden/n500), the streaming
-    # extract, the three real-codec media paths (JPEG, WAV, AVI), and —
-    # widened late-r5 — the sketches, compression-signal and extraction-
-    # anonymizer entries (also never driver-sampled in any round).
+    # covers never-sampled entries over successive rounds. r6 slate
+    # (VERDICT r5 items 3, 4, 8):
+    # * the eight entries PROMOTED from rows-only to golden-parquet value
+    #   oracles this round (tools/make_query_goldens.py) — re-sampled so
+    #   their CORRECTNESS rows flip from no_oracle to hash_match — plus
+    # * every entry that has never had a driver CORRECTNESS row in any
+    #   round: the four eval-harness queries, the training-data sink, the
+    #   streaming near-dup, the remaining media plumbing paths, and the
+    #   per-doc winnowing fingerprints.
     out.update({
-        "q_doc_token_rarity": curation.QUERIES["q_doc_token_rarity"],
-        "q_doc_training_mix": curation.QUERIES["q_doc_training_mix"],
-        "x_doc_winnow_pairs": dedup.ROWS_ONLY_QUERIES["x_doc_winnow_pairs"],
         "x_bpe_train": bpe.ROWS_ONLY_QUERIES["x_bpe_train"],
-        "x_stream_extract": x_stream_extract,
+        "x_doc_compression":
+            textstats.ROWS_ONLY_QUERIES["x_doc_compression"],
+        "x_anonymize_extraction":
+            strings.ROWS_ONLY_QUERIES["x_anonymize_extraction"],
         "x_media_jpg_to_png": multimodal.ROWS_ONLY_QUERIES["x_media_jpg_to_png"],
         "x_media_wav_features":
             multimodal.ROWS_ONLY_QUERIES["x_media_wav_features"],
         "x_media_video_frames":
             multimodal.ROWS_ONLY_QUERIES["x_media_video_frames"],
-        "x_sketches": sketches.ROWS_ONLY_QUERIES["x_sketches"],
-        "x_doc_compression":
-            textstats.ROWS_ONLY_QUERIES["x_doc_compression"],
-        "x_anonymize_extraction":
-            strings.ROWS_ONLY_QUERIES["x_anonymize_extraction"],
+        "x_media_ppm_to_png":
+            multimodal.ROWS_ONLY_QUERIES["x_media_ppm_to_png"],
+        "x_media_frame_sample":
+            multimodal.ROWS_ONLY_QUERIES["x_media_frame_sample"],
+        "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
+        "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
+        "x_eval_segmenter": x_eval_segmenter,
+        "x_eval_ner": x_eval_ner,
+        "x_eval_body": x_eval_body,
+        "x_eval_header_fields": x_eval_header_fields,
+        "x_training_data": x_training_data,
+        "x_stream_near_dup": x_stream_near_dup,
+        "x_media_resize": multimodal.ROWS_ONLY_QUERIES["x_media_resize"],
+        "x_media_features": multimodal.ROWS_ONLY_QUERIES["x_media_features"],
+        "x_doc_winnowing": dedup.ROWS_ONLY_QUERIES["x_doc_winnowing"],
+        "x_doc_winnow_pairs": dedup.ROWS_ONLY_QUERIES["x_doc_winnow_pairs"],
     })
     for m in _MODULES:
         out.update(m.QUERIES)
@@ -588,6 +600,63 @@ _X_ORACLES = {
         "SELECT md5(string_agg(doc_id || chr(31) || text, chr(30) "
         "ORDER BY doc_id)) FROM documents WHERE doc_id < 500)"),
 }
+
+# ---------------------------------------------------------------------------
+# r6 (VERDICT r5 items 3+8): the formerly rows-only deterministic entries,
+# promoted to value oracles with corpus-hash-keyed frozen golden parquet
+# (tools/make_query_goldens.py — independent python/duckdb references for
+# bpe/compression/anonymize/media; Spark-frozen determinism pins for the
+# approximate-by-design ANN paths, whose recall is tested separately).
+# The key subquery recomputes the content hash over the gate's view at
+# compare time: a drifted corpus matches NO golden block and fails loudly.
+# ---------------------------------------------------------------------------
+
+_DOCS_KEY = ("SELECT md5(string_agg(doc_id || chr(31) || text, chr(30) "
+             "ORDER BY doc_id)) FROM documents")
+_EMB_KEY = ("SELECT md5(string_agg(vec_id || chr(31) || to_json(embedding) "
+            "|| chr(31) || label, chr(30) ORDER BY vec_id)) FROM embeddings")
+
+
+def _keyed_golden(table: str, cols: str, key_sql: str) -> str:
+    return (f"SELECT {cols} "
+            f"FROM read_parquet('{_GOLDEN_DIR}/{table}.parquet') "
+            f"WHERE corpus_md5 = ({key_sql})")
+
+
+_X_ORACLES.update({
+    "x_bpe_train": _keyed_golden(
+        "expected_bpe_merges",
+        '"rank", "left", "right", new_symbol, "count"',
+        _DOCS_KEY + " WHERE doc_id < 200"),
+    "x_doc_compression": _keyed_golden(
+        "expected_compression",
+        "doc_id, raw_bytes, zlib_bytes, ratio_permille", _DOCS_KEY),
+    "x_media_jpg_to_png": _keyed_golden(
+        "expected_media_jpg",
+        "doc_id, width, height, jpg_bytes, png_bytes, max_err, status",
+        _DOCS_KEY),
+    "x_media_wav_features": _keyed_golden(
+        "expected_media_wav",
+        "doc_id, wav_bytes, sample_rate, n_frames, duration_sec, rms, "
+        "peak, zero_cross_rate, silence_ratio, status", _DOCS_KEY),
+    "x_media_video_frames": _keyed_golden(
+        "expected_media_video",
+        "doc_id, frame_idx, n_frames, fps, frame_luma, motion, status",
+        _DOCS_KEY),
+    "x_anonymize_extraction": _golden(
+        "expected_anonymize",
+        "doc_id, docnum_anon, date_anon, medics_anon, patient_anon, "
+        "patient_id_anon, address_anon"),
+    "x_emb_ann_lsh": _keyed_golden(
+        "expected_ann_lsh", 'query_id, vec_id, sim, "rank"', _EMB_KEY),
+    "x_emb_ann_ivf": _keyed_golden(
+        "expected_ann_ivf", 'query_id, vec_id, sim, "rank"', _EMB_KEY),
+    "x_media_ppm_to_png": _keyed_golden(
+        "expected_media_ppm",
+        "doc_id, width, height, ppm_bytes, png_bytes, status", _DOCS_KEY),
+    "x_media_frame_sample": _keyed_golden(
+        "expected_frame_sample", "doc_id, frame_idx, checksum", _DOCS_KEY),
+})
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,7 +39,12 @@ def word_counts(spark: SparkSession, sf_dir: str,
                 limit_docs: int | None = None) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if limit_docs:
-        d = d.limit(limit_docs)
+        # doc_id predicate, NOT .limit(): limit without an ordering is
+        # partition-layout-dependent — on a real cluster two runs may train
+        # on different subsets. The predicate pushes to the parquet scan
+        # and makes the learned merge table a pure function of the corpus
+        # (required by the r6 golden-parquet oracle for x_bpe_train).
+        d = d.filter(F.col("doc_id") < limit_docs)
     words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w")) \
              .filter(F.col("w") != "")
     return words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))

@@ -70,7 +70,13 @@ def q_event_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("k", F.regexp_extract("props", "[0-9]+", 0).cast("int"))
               .groupBy("day")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.avg("value"), 4).alias("avg_value"),
+                   # decimal avg: double partial sums are ORDER-dependent,
+                   # and the partial order follows the partition count — an
+                   # 8-core run can flip the 4th decimal vs a 32-core run
+                   # (seen once at sf0.001). Decimal sums are exact, so the
+                   # result is engine- and parallelism-independent.
+                   F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4)
+                    .cast("double").alias("avg_value"),
                    F.round(F.avg("k"), 4).alias("avg_k"),
                    F.countDistinct("user_id").alias("n_users")))
 
@@ -84,7 +90,8 @@ def q_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy((F.col("k") % 10).alias("k_mod"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.min("k").alias("min_k"), F.max("k").alias("max_k"),
-                   F.round(F.avg("value"), 4).alias("avg_value")))
+                   F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4)
+                    .cast("double").alias("avg_value")))
 
 
 def q_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +244,7 @@ ORACLES: dict[str, str] = {
     "q_event_daily_stats": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value,
+               CAST(round(avg(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_value,
                round(avg(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)), 4) AS avg_k,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY day
@@ -247,7 +254,7 @@ ORACLES: dict[str, str] = {
                count(*) AS n,
                min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-               round(avg(value), 4) AS avg_value
+               CAST(round(avg(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_value
         FROM events GROUP BY 1
     """,
     "q_topk_users_by_value": """
