@@ -89,15 +89,68 @@ def timed_extraction(cores: int, corpus_path: str, n_docs: int,
     return min(times), times
 
 
+#: modules holding per-worker memos (lru caches + *_CACHE dicts) — the
+#: state the COLD kernel figure clears between trials
+_KERNEL_CACHE_MODULES = (
+    "grobid_medical_report_spark.operators.segmenter",
+    "grobid_medical_report_spark.operators.ner",
+    "grobid_medical_report_spark.operators.header",
+    "grobid_medical_report_spark.operators.leftnote",
+    "grobid_medical_report_spark.operators.subentity",
+    "grobid_medical_report_spark.operators.body",
+    "grobid_medical_report_spark.functions.textnorm",
+    "grobid_medical_report_spark.functions.sentences",
+    "grobid_medical_report_spark.functions.dates",
+)
+
+
+def clear_kernel_caches() -> int:
+    """Reset every kernel memo (lru_cache wrappers and module-level
+    ``*_CACHE`` dicts). Returns the number of caches cleared."""
+    import importlib
+
+    n = 0
+    for mn in _KERNEL_CACHE_MODULES:
+        m = importlib.import_module(mn)
+        for name in dir(m):
+            obj = getattr(m, name)
+            if hasattr(obj, "cache_clear"):
+                obj.cache_clear()
+                n += 1
+            elif isinstance(obj, dict) and name.endswith("_CACHE"):
+                obj.clear()
+                n += 1
+    return n
+
+
 def single_core_kernel(n_docs: int = 1500, trials: int = 2) -> dict:
     """Pure-Python kernel throughput on ONE core (no Spark, no Arrow): the
     per-core number the distributed docs/s figures decompose into. Inputs
-    are pre-generated; timing covers extract_doc only."""
+    are pre-generated; timing covers extract_doc only.
+
+    Reports TWO figures (VERDICT r5 item 5):
+    * warm — best-of-trials over the same docs, all memos hot: the number
+      that governs boilerplate-heavy re-runs;
+    * cold — every per-worker memo cleared before each trial, so every
+      line/paragraph is first-seen: the number that governs a real 100-TB
+      run, where most paragraph text is unique. Cold is profile-bound by
+      C-level per-unique-text work (regex candidate scans, OCR-fold
+      translate, numpy BIO decodes), not Python orchestration — see
+      BENCH/BASELINE.md for the documented bound."""
     from grobid_medical_report_spark.corpus import generate_doc
     from grobid_medical_report_spark.operators.assemble import extract_doc
 
     docs = [generate_doc(i) for i in range(n_docs)]
     extract_doc(docs[0]["doc_id"], docs[0]["spans"])     # warm memo/JIT-ish
+    cold_best = None
+    for _ in range(trials):
+        clear_kernel_caches()
+        t0 = time.time()
+        for d in docs:
+            r = extract_doc(d["doc_id"], d["spans"])
+            assert r["status"] == "ok"
+        dt = time.time() - t0
+        cold_best = dt if cold_best is None or dt < cold_best else cold_best
     best = None
     for _ in range(trials):
         t0 = time.time()
@@ -107,7 +160,9 @@ def single_core_kernel(n_docs: int = 1500, trials: int = 2) -> dict:
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     return {"docs": n_docs, "sec": round(best, 3),
-            "docs_per_sec_per_core": round(n_docs / best, 1)}
+            "docs_per_sec_per_core": round(n_docs / best, 1),
+            "cold_sec": round(cold_best, 3),
+            "cold_docs_per_sec_per_core": round(n_docs / cold_best, 1)}
 
 
 def main() -> None:
@@ -215,7 +270,30 @@ def main() -> None:
             "(target >= 0.8).\n\n## single-core kernel (no Spark)\n\n"
             f"extract_doc over {kernel['docs']} pre-generated docs on one "
             f"core: {kernel['sec']} s -> **{kernel['docs_per_sec_per_core']} "
-            "docs/s/core**.\n\n## where the fleet gap goes (measured r3)\n\n"
+            "docs/s/core** warm (memos hot — the boilerplate-repeat "
+            f"regime); **{kernel['cold_docs_per_sec_per_core']} "
+            "docs/s/core COLD** (every per-worker memo cleared before the "
+            "trial — the first-seen-text regime that governs a real "
+            "100-TB run; r6, VERDICT r5 item 5).\n\n"
+            "### cold-path bound (r6 profile)\n\n"
+            "The cold kernel is bound by C-level per-UNIQUE-text work, "
+            "not Python orchestration: cProfile over a cold 800-doc pass "
+            "puts ~45% in NER (candidate regex scans + OCR-fold translate "
+            "+ numpy BIO decodes over first-seen paragraphs), ~20% in the "
+            "segmenter's per-line fold/probe features, ~10% in header/"
+            "leftnote line features, the rest in body labeling and "
+            "assembly. r6 shaved the Python half of that: a MIRROR fast "
+            "path covers 93% of candidate intervals (single exact "
+            "candidate + its fold mirror -> one dict-keyed decode, no "
+            "per-token bookkeeping), the _SINGLE_CACHE stores entity RUNS "
+            "instead of per-token tags, digit/paren/slash C-gates skip "
+            "whole regex passes, and the body featurizer's caps-head scan "
+            "is word-count-gated with split(None, 8). The remaining cold "
+            "cost is the irreducible scans themselves; cutting further "
+            "means native extensions (out of scope) or changing candidate "
+            "semantics (rejected: byte-stability of the clean AND noisy "
+            "decode is pinned by goldens and the eval tiers).\n\n"
+            "## where the fleet gap goes (measured r3)\n\n"
             "The fleet does NOT reach 16x the solo kernel rate, and the gap "
             "is the MACHINE, not the plan. Measured on this box: (a) the "
             "input boundary (scan + flat transforms + Arrow to Python + "

@@ -132,10 +132,16 @@ def body_line_features(text: str, lay_heading: bool = False,
         f.append(_BF["lay_indent"])
     if text.startswith(("- ", "• ", "* ")):
         f.append(_BF["c_bullet"])
-    alpha = [c for c in text if c.isalpha()]
-    if (4 <= len(alpha) and len(text.split()) <= 8
-            and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha)):
-        f.append(_BF["c_caps_head"])
+    # word-count gate FIRST with maxsplit (cold-path cost: the alpha scan
+    # over long paragraph lines was ~10% of the cold kernel's body stage;
+    # split(None, 8) yields <= 9 pieces, so len <= 8 iff word count <= 8 —
+    # semantics identical, but multi-hundred-char paragraphs skip the
+    # per-char scan entirely)
+    if len(text.split(None, 8)) <= 8:
+        alpha = [c for c in text if c.isalpha()]
+        if (4 <= len(alpha)
+                and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha)):
+            f.append(_BF["c_caps_head"])
     return f
 
 

@@ -52,6 +52,7 @@ RE_DOSE_EXT = re.compile(r" \d+ ?mg(?: ?\*\d+)?")
 #: (processFrenchMedicalNERFromPDF.xml tags the bare 2 as <value>)
 RE_PAREN_VALUE = re.compile(r"\((\d+)\b(?! ?mg)")
 RE_ALL_DASH = re.compile(r"-{4,}")
+_RE_ANY_DIGIT = re.compile(r"\d")
 
 #: reference-model context quirks, mirrored verbatim from the expected
 #: outputs (processFrenchMedicalNERFromPDF.xml): these terms are NOT tagged
@@ -147,8 +148,9 @@ def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
     folded = _fold(text)
     out = [(m.start(), m.end(), _FUZZY_TERM_CAT[m.group(0)])
            for m in _FUZZY_RX.finditer(folded)]
-    out += [(m.start(), m.end(), "date")
-            for m in RE_DATE_FUZZY.finditer(text)]
+    if "/" in text:        # implied by the fuzzy date shape (cold-path gate)
+        out += [(m.start(), m.end(), "date")
+                for m in RE_DATE_FUZZY.finditer(text)]
     out.sort()
     return tuple(out)
 
@@ -185,17 +187,28 @@ def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
             e += 1          # end-of-text period folds in ("urgences.")
         cands.append((s, s - e, _PRIORITY.get(cat, 9), e, cat, text[s:e]))
 
-    for m in RE_DATE.finditer(text):
-        s, e = m.start(), m.end()
-        cands.append((s, s - e, _PRIORITY["date"], e, "date", m.group(0)))
-    for m in RE_VALUE_UNIT.finditer(text):
-        s, e = m.start(1), m.end(1)
-        cands.append((s, s - e, _PRIORITY["value"], e, "value", m.group(1)))
-        s, e = m.start(2), m.end(2)
-        cands.append((s, s - e, _PRIORITY["unit"], e, "unit", m.group(2)))
-    for m in RE_PAREN_VALUE.finditer(text):
-        s, e = m.start(1), m.end(1)
-        cands.append((s, s - e, _PRIORITY["value"], e, "value", m.group(1)))
+    # C-level substring gates before the digit-shaped scans (cold path:
+    # each skipped finditer saves a full pass over the text; the gates are
+    # implied by the patterns, so the match sets are unchanged)
+    has_digit = _RE_ANY_DIGIT.search(text) is not None
+    if has_digit and "/" in text:
+        for m in RE_DATE.finditer(text):
+            s, e = m.start(), m.end()
+            cands.append((s, s - e, _PRIORITY["date"], e, "date",
+                          m.group(0)))
+    if has_digit:
+        for m in RE_VALUE_UNIT.finditer(text):
+            s, e = m.start(1), m.end(1)
+            cands.append((s, s - e, _PRIORITY["value"], e, "value",
+                          m.group(1)))
+            s, e = m.start(2), m.end(2)
+            cands.append((s, s - e, _PRIORITY["unit"], e, "unit",
+                          m.group(2)))
+        if "(" in text:
+            for m in RE_PAREN_VALUE.finditer(text):
+                s, e = m.start(1), m.end(1)
+                cands.append((s, s - e, _PRIORITY["value"], e, "value",
+                              m.group(1)))
     for m in RE_PERSNAME.finditer(text):
         s, e = m.start(), m.end()
         # trailing period folds in at end-of-text (fixture: "...ROUX.")
@@ -387,6 +400,29 @@ def _ner_weights():
     return _NER_W
 
 
+def _tags_to_runs(tags: list[str]) -> tuple[tuple[str, int, int], ...]:
+    """BIO tag list -> ((category, first_token, last_token), ...) entity
+    runs. The _SINGLE_CACHE stores RUNS, not tags: on every cache hit the
+    output loop is one iteration per ENTITY instead of one per token (the
+    per-token startswith/f-string scan was measurable on the cold path)."""
+    runs = []
+    n = len(tags)
+    i = 0
+    while i < n:
+        st = tags[i]
+        if st.startswith("B-"):
+            tcat = st[2:]
+            it = "I-" + tcat
+            j = i + 1
+            while j < n and tags[j] == it:
+                j += 1
+            runs.append((tcat, i, j - 1))
+            i = j
+        else:
+            i += 1
+    return tuple(runs)
+
+
 def _path_to_entities(text: str, toks: list[tuple[int, int]],
                       path: list[int]) -> list[dict[str, Any]]:
     out: list[dict[str, Any]] = []
@@ -499,6 +535,35 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
         if not toks:
             continue
         n = len(toks)
+        # MIRROR fast path (cold-path hot case, ~80% of clean-text
+        # intervals): ONE exact candidate spanning the whole interval,
+        # with either no fuzzy span or exactly its fold mirror (same
+        # span). Then ci0 = 0, the candidate covers all n tokens, and the
+        # fmarks signature is fully determined by (fuzzy cat, n) — so the
+        # cache key collapses to (cat, fcat, shapes) with no tstart dict
+        # and no per-token fmark lists. Key space is disjoint from the
+        # general single-candidate path via the leading 0/1 marker.
+        if (W is None and len(seg) == 1
+                and seg[0][0] == a and seg[0][3] == b
+                and (not fseg or (len(fseg) == 1 and fseg[0][0] == a
+                                  and fseg[0][1] == b))):
+            cat = seg[0][4]
+            shapes = bytes(_char_shape(text[s]) for s, _e in toks)
+            key1 = (0, cat, fseg[0][2] if fseg else None, shapes)
+            runs = _SINGLE_CACHE.get(key1)
+            if runs is None:
+                X = token_features(text, toks, seg)
+                em = X @ _ner_weights().T
+                runs = _tags_to_runs(
+                    [NER_STATES[p] for p in _bio_decode(em)])
+                if len(_SINGLE_CACHE) >= 100_000:
+                    _SINGLE_CACHE.clear()
+                _SINGLE_CACHE[key1] = runs
+            for tcat, i0, j1 in runs:
+                s0, s1 = toks[i0][0], toks[j1][1]
+                out.append({"type": tcat, "text": text[s0:s1],
+                            "start": s0, "end": s1})
+            continue
         tstart = {s: i for i, (s, _e) in enumerate(toks)}
         # fuzzy per-token feature marks (mirrors token_features exactly)
         fmarks: list[list[int]] = [[] for _ in toks]
@@ -533,30 +598,21 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
             cj = ci0 + 1
             while cj < n and toks[cj][1] <= ce:
                 cj += 1
-            key1 = (cat, ci0, cj - ci0, shapes,
+            key1 = (1, cat, ci0, cj - ci0, shapes,
                     tuple(map(tuple, fmarks)))
-            tags = _SINGLE_CACHE.get(key1)
-            if tags is None:
+            runs = _SINGLE_CACHE.get(key1)
+            if runs is None:
                 X = token_features(text, toks, seg)
                 em = X @ _ner_weights().T
-                tags = tuple(NER_STATES[p] for p in _bio_decode(em))
+                runs = _tags_to_runs(
+                    [NER_STATES[p] for p in _bio_decode(em)])
                 if len(_SINGLE_CACHE) >= 100_000:
                     _SINGLE_CACHE.clear()
-                _SINGLE_CACHE[key1] = tags
-            i = 0
-            while i < n:
-                st = tags[i]
-                if st.startswith("B-"):
-                    tcat = st[2:]
-                    j = i + 1
-                    while j < n and tags[j] == f"I-{tcat}":
-                        j += 1
-                    s0, s1 = toks[i][0], toks[j - 1][1]
-                    out.append({"type": tcat, "text": text[s0:s1],
-                                "start": s0, "end": s1})
-                    i = j
-                else:
-                    i += 1
+                _SINGLE_CACHE[key1] = runs
+            for tcat, i0, j1 in runs:
+                s0, s1 = toks[i0][0], toks[j1][1]
+                out.append({"type": tcat, "text": text[s0:s1],
+                            "start": s0, "end": s1})
             continue
         # restricted state list: O + (B,I) per category present (exact OR
         # fuzzy), ordered by global state index so tie-breaks replicate

@@ -112,9 +112,12 @@ def test_single_cache_key_distinguishes_candidate_placement():
         full = ner.decode_entities_full(t)
         assert [(e["type"], e["start"], e["end"]) for e in seq] == \
                [(e["type"], e["start"], e["end"]) for e in full], t
-    # the two value intervals hash to DISTINCT cache entries
-    value_keys = [k for k in ner._SINGLE_CACHE if k[0] == "value"]
+    # the two value intervals hash to DISTINCT cache entries (general
+    # single-candidate keys carry the 1 marker; the r6 mirror fast path
+    # uses marker 0 and a disjoint key space)
+    value_keys = [k for k in ner._SINGLE_CACHE
+                  if k[0] == 1 and k[1] == "value"]
     assert len(value_keys) == 2, value_keys
     # and the key carries the candidate's token-relative placement
-    placements = {(k[1], k[2]) for k in value_keys}
+    placements = {(k[2], k[3]) for k in value_keys}
     assert placements == {(0, 1), (2, 1)}, placements
