@@ -1030,6 +1030,46 @@ def _shift_line(t: str, lab: str, fld: str, counters: dict) -> str:
     return t
 
 
+def b_native_token_gold(model: str, fld: str, tb: str) -> list[str] | None:
+    """GENERATOR-authored token gold for the family-B line shapes whose
+    rewrite changes the token count (VERDICT r5 item 6) — the shapes the
+    r5 token-tagger tiers had to SKIP because transferring family-A gold
+    positionally would be impossible and inventing it in the eval would
+    beg the question. The generator owns both the A truth and the B
+    template, so it can author the B-native tags by construction,
+    following the A-convention analogs:
+
+    * idno  'Identifiant patient <n>': the type PHRASE plays the role A's
+      single 'IPP' token plays (idtype), the digits stay idno;
+    * sex   'Sexe féminin'/'Sexe masculin': A tags 'Sexe' O and the value
+      token sex — the fused B value word keeps that split;
+    * contact 'Téléphone <a> / Télécopie <b>': keyword and separator
+      tokens are O exactly as A's 'Tél :'/'-'/'Fax :' are, digit groups
+      keep phone/fax.
+
+    Returns None for (model, field) pairs this function does not author —
+    callers fall back to the positional-transfer path."""
+    toks = tb.split(" ")
+    if model == "patient" and fld == "idno" \
+            and tb.startswith("Identifiant patient "):
+        return ["idtype", "idtype"] + ["idno"] * (len(toks) - 2)
+    if model == "patient" and fld == "sex" and tb.startswith("Sexe "):
+        return ["O"] + ["sex"] * (len(toks) - 1)
+    if model == "organization" and fld == "contact" \
+            and tb.startswith("Téléphone ") and " / Télécopie " in tb:
+        cut = toks.index("/")
+        out = []
+        for k, tok in enumerate(toks):
+            if tok in ("Téléphone", "Télécopie", "/"):
+                out.append("O")
+            elif tok == "(standard)":
+                out.append("note")       # A convention: the qualifier is
+            else:                        # <note>, not part of the number
+                out.append("phone" if k < cut else "fax")
+        return out
+    return None
+
+
 def shift_format(d: dict, i: int) -> dict:
     """Family-B twin of a generated doc: same keys, same gold labels/fields,
     reshaped surface text + rotated header/letterhead blocks."""

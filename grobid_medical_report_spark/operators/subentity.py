@@ -76,6 +76,25 @@ SUB_FEATURES = (
     # r5: gazetteer membership via OCR fold — city tokens keep their
     # identity through character damage (birthplace/settlement recall)
     "city_lex",
+    # r6 (VERDICT r5 items 6+7): digit-LENGTH classes — an age ('47'), a
+    # street number ('609,'), and a patient id ('443217716') are all
+    # has_digit/pure_digit, which is exactly the confusion the family-B
+    # tier exposed once its label keywords went out-of-vocabulary; the
+    # length class is label-intrinsic and fires in family A. Plus a
+    # sticky after-separator flag (standalone '-'/'/'/'•' seen — fires in
+    # A on the contact dash) and a next-is-long-digit-run lookahead (the
+    # structural cue that a type phrase precedes its id).
+    "d_len12", "d_len34", "d_len6p", "after_sep", "next_digitrun",
+    # r6: a label-prefix word is followed by ':' (A template invariant) —
+    # a type phrase before an id run is not; without this the two twin
+    # families assert opposite tags on identical feature vectors
+    "next_colon",
+    # r6: LINE-level long-digit-run presence (emitted on every token of a
+    # line containing a >=6-digit run — A's idno lines and nothing else in
+    # the patient line space): the type-phrase tokens of an id line are
+    # otherwise indistinguishable from a renamed field prefix two tokens
+    # before its value ('Date de naissance :' vs 'Identifiant patient N')
+    "line_digitrun",
 )
 _SF = {f: i for i, f in enumerate(SUB_FEATURES)}
 
@@ -223,11 +242,24 @@ def _token_shape(tok: str):
                       or _FD5.fullmatch(core))
     if five_digit:
         f.append(_SF["five_digit"])
+    digitrun = False
+    if core.isdigit():
+        ln = len(core)
+        if ln <= 2:
+            f.append(_SF["d_len12"])
+        elif ln <= 4:
+            f.append(_SF["d_len34"])
+        elif ln >= 6:
+            f.append(_SF["d_len6p"])
+            digitrun = True
     if tok in _STREET_KW or fl in _STREET_FOLDS:
         f.append(_SF["street_kw"])
     if core == "Cedex" or fl == "eedex":
         f.append(_SF["is_cedex"])
-    if tok == "-":
+    if tok in ("-", "/", "\u2022"):
+        # standalone separator glyph — '-' in family A's contact line,
+        # '/' or '\u2022' in a second template's; no A line ever tokenizes
+        # a bare '/' so widening the class leaves A decode untouched
         f.append(_SF["is_dash"])
     if core == "P\u00f4le" or fl == "poie":
         f.append(_SF["is_pole_kw"])
@@ -311,7 +343,8 @@ def _token_shape(tok: str):
             low == "demeurant" or fl == "deneuront",
             tok in _STREET_KW or fl in _STREET_FOLDS,
             core == "P\u00f4le" or fl == "poie",
-            core == "SERVICE" or fl == "seruiee")
+            core == "SERVICE" or fl == "seruiee",
+            digitrun)
 
 
 def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
@@ -322,16 +355,18 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
     after_ne = after_dem = after_colon = False
     after_streetkw = after_postcode = False
     after_polekw = after_servicekw = False
+    after_sep = False
     # last-keyword categorical context (r4): switches at each keyword;
     # "" = no context. paren context remembers what to restore.
     ctx = ""
     prev_ctx = ""
     seg_post_comma = False
     shapes = [_token_shape(t) for _s, t in toks]
+    line_digitrun = any(sh[14] for sh in shapes)
     for i, (_s, tok) in enumerate(toks):
         (static, core, low, is_paren_digit, paren_open, five_digit,
          vkw, org_ctx, is_assoc, is_ne_tok, is_dem_tok, is_street_tok,
-         is_pole_tok, is_service_tok) = shapes[i]
+         is_pole_tok, is_service_tok, _digitrun) = shapes[i]
         # ---- SELF-INCLUSIVE context switches (before emitting) ----------
         if org_ctx:
             ctx = org_ctx
@@ -376,6 +411,14 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
                 f.append(_SF["next_service_kw"])
             if shapes[i + 1][3]:
                 f.append(_SF["next_paren_digit"])
+            if shapes[i + 1][14]:               # next is a long digit run
+                f.append(_SF["next_digitrun"])
+            if toks[i + 1][1] == ":":
+                f.append(_SF["next_colon"])
+        if after_sep:
+            f.append(_SF["after_sep"])
+        if line_digitrun:
+            f.append(_SF["line_digitrun"])
         if seg_post_comma:
             f.append(_SF["seg_post_comma"])
         if ctx:
@@ -390,6 +433,8 @@ def token_features(toks: list[tuple[int, str]]) -> list[list[int]]:
             ctx, seg_post_comma = "addr", False
         if tok == ":":
             after_colon = True
+        if tok in ("-", "/", "\u2022"):
+            after_sep = True
         if is_street_tok:
             after_streetkw = True
         if five_digit:

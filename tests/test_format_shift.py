@@ -108,8 +108,11 @@ def test_format_shift_organization_tagger():
     assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
     # the scanner twin visibly fails on re-cased lines (the tier bites)
     assert r["rules_micro_accuracy"] < 0.9, r["rules_micro_accuracy"]
-    # and the fitted path holds what the committed artifact achieves
-    assert r["micro_accuracy"] >= 0.9, r["micro_accuracy"]
+    # r6: the tier now INCLUDES the count-changing contact merge with
+    # generator-authored B-native gold (corpus.b_native_token_gold), and
+    # the case-swap + keyword-mask twins carry it (VERDICT r5 item 6)
+    assert "phone" in r["per_label"] and "fax" in r["per_label"]
+    assert r["micro_accuracy"] >= 0.95, r["micro_accuracy"]
 
 
 def test_format_shift_patient_tagger():
@@ -122,7 +125,15 @@ def test_format_shift_patient_tagger():
     assert r["n_decisions"] > 100
     assert r["micro_accuracy"] >= r["rules_micro_accuracy"] - 1e-9
     assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]
-    assert r["micro_accuracy"] >= 0.8, r["micro_accuracy"]
+    # r6 targets (VERDICT r5 items 6+7): the tier now includes the
+    # count-changing idno/sex fusions with generator-authored B-native
+    # gold; micro >= 0.95 with the former soft spots closed
+    assert r["micro_accuracy"] >= 0.95, r["micro_accuracy"]
+    assert "idno" in r["per_label"] and "sex" in r["per_label"]
+    assert r["per_label"]["address"]["f1"] >= 0.9, \
+        r["per_label"]["address"]
+    assert r["per_label"]["persname"]["f1"] >= 0.9, \
+        r["per_label"]["persname"]
 
 
 def test_format_shift_address_tagger():

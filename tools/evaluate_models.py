@@ -172,7 +172,10 @@ def _sub_family(model: str):
         # organization trains with the case-mask dropout phase, patient
         # with the label-prefix invariance twins
         if model == "organization":
-            return tsub.train_masked(d, len(labels), tsub.case_mask())[0]
+            return tsub.train_masked(
+                d, len(labels), tsub.case_mask(),
+                extra_twins=tsub.keyword_mask_twins(d, model)
+                + tsub.case_swap_twins(d))[0]
         if model == "patient":
             return tsub.train_masked(d, len(labels),
                                      twins=tsub.prefix_twins(d, model))[0]
@@ -451,10 +454,12 @@ def _shifted_sub_org(lo, hi):
     TOKEN-PRESERVING rewrites (case reshapes: 'SERVICE DE X' -> 'Service
     de X', 'Pôle X' -> upper; unchanged lines ride along): the family-A
     scanner gold maps verbatim onto the family-B tokens, so the gold
-    stays independent of any B-aware rule. Count-changing rewrites
-    (contact merge) are skipped — their gold cannot be transferred
-    without writing a family-B scanner, which would beg the question."""
+    stays independent of any B-aware rule. The count-changing contact
+    merge ('Téléphone A / Télécopie B') carries GENERATOR-authored
+    family-B-native gold (corpus.b_native_token_gold — r6, VERDICT r5
+    item 6) instead of being skipped."""
     from grobid_medical_report_spark.corpus import (ZONE_OF, _shift_line,
+                                                    b_native_token_gold,
                                                     generate_doc)
     from grobid_medical_report_spark.functions.textnorm import \
         normalize_space
@@ -468,15 +473,23 @@ def _shifted_sub_org(lo, hi):
         # the rotated doc by A positions would misalign gold)
         for j, lab in enumerate(a["line_labels"]):
             if ZONE_OF.get(lab) != "leftnote" \
-                    or a["line_fields"][j] not in ("org", "web", "email"):
+                    or a["line_fields"][j] not in ("org", "web", "email",
+                                                   "contact"):
                 continue
             ta = normalize_space(a["spans"][j]["text"])
             tb_ = normalize_space(
                 _shift_line(ta, lab, a["line_fields"][j], {}))
-            gold = se.rule_tags("organization", ta)
             toks_b = se.tokens_of(tb_)
-            if len(toks_b) != len(gold):
-                continue               # count-changing rewrite: no gold
+            authored = b_native_token_gold(
+                "organization", a["line_fields"][j], tb_)
+            if authored is not None:
+                gold = authored
+                if len(toks_b) != len(gold):
+                    continue
+            else:
+                gold = se.rule_tags("organization", ta)
+                if len(toks_b) != len(gold):
+                    continue           # count-changing, no authored gold
             data.append((tb_, se.token_features(toks_b),
                          [labels.index(g) for g in gold]))
             rpred = se.rule_tags("organization", tb_)
@@ -500,6 +513,7 @@ def _shifted_sub_patient(lo, hi):
                                                     generate_doc)
     from grobid_medical_report_spark.functions.textnorm import \
         normalize_space
+    from grobid_medical_report_spark.corpus import b_native_token_gold
     labels = se.SUB_LABELS["patient"]
     data, rule_pairs = [], []
     for i in range(lo, hi):
@@ -507,11 +521,25 @@ def _shifted_sub_patient(lo, hi):
         for j, lab in enumerate(a["line_labels"]):
             if ZONE_OF.get(lab) != "header" \
                     or a["line_fields"][j] not in (
-                        "patient", "age", "birthdate", "patient_address"):
+                        "patient", "age", "birthdate", "patient_address",
+                        "idno", "sex"):
                 continue
             ta = normalize_space(a["spans"][j]["text"])
             tb_ = normalize_space(
                 _shift_line(ta, lab, a["line_fields"][j], {}))
+            # count-changing rewrites (idno fusion, sex fusion) carry
+            # GENERATOR-authored family-B-native gold (r6, VERDICT r5
+            # item 6) instead of being skipped
+            authored = b_native_token_gold(
+                "patient", a["line_fields"][j], tb_)
+            if authored is not None:
+                toks_b2 = se.tokens_of(tb_)
+                if len(toks_b2) == len(authored):
+                    data.append((tb_, se.token_features(toks_b2),
+                                 [labels.index(g) for g in authored]))
+                    rule_pairs.extend(
+                        zip(authored, se.rule_tags("patient", tb_)))
+                continue
             gold_a = se.rule_tags("patient", ta)
             toks_a = [tok for _s, tok in se.tokens_of(ta)]
             toks_b = se.tokens_of(tb_)

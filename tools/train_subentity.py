@@ -218,7 +218,7 @@ def train(data, n_labels, margin: float = 1.0):
 
 def train_masked(data, n_labels, masked: frozenset = frozenset(),
                  margin: float = 1.0, mask_epochs: int = 8,
-                 twins=None):
+                 twins=None, extra_twins=None):
     """train() plus the template-dropout phase of tools/train_fields.py:
     phase 2 trains over twins — either dropout twins with the ``masked``
     feature ids removed (e.g. the case-class features allcaps/titlecase,
@@ -235,6 +235,8 @@ def train_masked(data, n_labels, masked: frozenset = frozenset(),
             kept = [[k for k in f if k not in masked] for f in feats]
             if any(len(a) != len(b) for a, b in zip(kept, feats)):
                 twins.append((text, kept, gold))
+    if extra_twins:
+        twins = list(twins) + list(extra_twins)
     if not twins:
         return W, ep
     best = [row[:] for row in W]
@@ -293,6 +295,119 @@ def prefix_twins(data, model):
         if len(toks2) != len(g2):
             continue
         out.append((t2, se.token_features(toks2), g2))
+    out.extend(keyword_mask_twins(data, model))
+    return out
+
+
+def _twin_of(text, gold, model, replace: dict[str, str]):
+    """Token-preserving keyword-masked twin: family-A label keywords
+    swapped for neutral placeholders, gold unchanged — the training
+    pressure that forces the VALUE-shape evidence (digit-length class,
+    street keyword, postcode, city gazetteer, separator position) to
+    carry its tags without the family-A keyword."""
+    toks = text.split(" ")
+    if not any(t in replace for t in toks):
+        return None
+    t2 = " ".join(replace.get(t, t) for t in toks)
+    toks2 = se.tokens_of(t2)
+    if len(toks2) != len(gold):
+        return None
+    labels_g = gold
+    return (t2, se.token_features(toks2), list(labels_g))
+
+
+def keyword_mask_twins(data, model):
+    """r6 (VERDICT r5 items 6+7) keyword-masked twins, per model:
+
+    * patient — the address-block prefix ('Demeurant'/'demeurant' ->
+      placeholder) so the address VALUE tokens keep their tags when a
+      second template renames the prefix; the sex value shape
+      ('Sexe : F' -> 'Sexe : champx', gold unchanged) so a WORD-shaped
+      value in sexe-context stays <sex>; and the id type-phrase shape
+      ('IPP : <n>' -> 'Champx champy <n>' with gold idtype idtype idno —
+      the structural prior that the tokens before a long id run are its
+      type phrase, exactly A's own 'IPP'-before-digits structure).
+    * organization — the contact keywords ('Tél'/'Fax' -> placeholders)
+      so the phone/fax split rides the separator position (after_sep)
+      and digit shapes instead of the keyword identity.
+
+    Placeholders are no grammar family's vocabulary; every twin's gold is
+    the unchanged family-A gold except the idno shape, whose 2-token twin
+    mirrors the generator-authored family-B-native convention
+    (corpus.b_native_token_gold)."""
+    labels = se.SUB_LABELS[model]
+    out = []
+    if model == "patient":
+        o = labels.index("O")
+        for text, feats, gold in data:
+            tw = _twin_of(text, gold, model,
+                          {"Demeurant": "Champx", "demeurant": "champx"})
+            if tw is not None:
+                out.append(tw)
+            toks = text.split(" ")
+            if text.startswith("Sexe : ") and len(toks) == 3:
+                tw = _twin_of(text, gold, model, {toks[2]: "champx"})
+                if tw is not None:
+                    out.append(tw)
+                # colon-free variant: a second template fuses type+value
+                t2 = "Sexe champx"
+                out.append((t2, se.token_features(se.tokens_of(t2)),
+                            [o, labels.index("sex")]))
+            if text.startswith("IPP : ") and len(toks) == 3 \
+                    and toks[2].isdigit():
+                t2 = f"Champx champy {toks[2]}"
+                toks2 = se.tokens_of(t2)
+                g2 = [labels.index("idtype"), labels.index("idtype"),
+                      labels.index("idno")]
+                out.append((t2, se.token_features(toks2), g2))
+                # 1-token phrase variant keeps the A arity covered too
+                t3 = f"Champx {toks[2]}"
+                out.append((t3, se.token_features(se.tokens_of(t3)),
+                            [labels.index("idtype"), labels.index("idno")]))
+    elif model == "organization":
+        o = labels.index("O")
+        for text, feats, gold in data:
+            tw = _twin_of(text, gold, model,
+                          {"Tél": "Champx", "Fax": "Champy"})
+            if tw is not None:
+                out.append(tw)
+            # colon-FREE contact twin ('Champx <a> - Champy <b>'): a
+            # second template drops the colons, so the keyword-masked
+            # evidence must carry without next_colon/after_colon; built
+            # from the A line's own digit groups, gold unchanged minus
+            # the colon positions
+            toks = text.split(" ")
+            if text.startswith("Tél : ") and " - Fax : " in text:
+                keep = [(t, g) for t, g in zip(toks, gold)
+                        if t != ":"]
+                t2 = " ".join("Champx" if t == "Tél" else
+                              "Champy" if t == "Fax" else t
+                              for t, _g in keep)
+                toks2 = se.tokens_of(t2)
+                g2 = [g for _t, g in keep]
+                if len(toks2) == len(g2):
+                    out.append((t2, se.token_features(toks2), g2))
+    return out
+
+
+def case_swap_twins(data):
+    """Case-SWAP twins (r6): the case-mask dropout says case evidence may
+    VANISH; a recased letterhead actually FLIPS it ('Pôle Imagerie' ->
+    'PÔLE IMAGERIE' swaps titlecase for allcaps while every keyword/fold/
+    context feature survives). Swapping the two case-class feature ids in
+    each token vector — gold unchanged — covers the flipped vectors the
+    live family-B lines present. Pure shape prior, no vocabulary."""
+    ac, tc = se._SF["allcaps"], se._SF["titlecase"]
+    out = []
+    for text, feats, gold in data:
+        swapped = []
+        changed = False
+        for f in feats:
+            g = [tc if k == ac else ac if k == tc else k for k in f]
+            changed = changed or g != f
+            swapped.append(g)
+        if changed:
+            out.append((text, swapped, gold))
     return out
 
 
@@ -323,7 +438,9 @@ def main() -> None:
         print(f"{model}: {len(data)} strings")
         if model == "organization":
             W, ep = train_masked(data, len(se.SUB_LABELS[model]),
-                                 case_mask())
+                                 case_mask(),
+                                 extra_twins=keyword_mask_twins(data, model)
+                                 + case_swap_twins(data))
         elif model == "patient":
             W, ep = train_masked(data, len(se.SUB_LABELS[model]),
                                  twins=prefix_twins(data, model))
