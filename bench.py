@@ -319,7 +319,9 @@ def main() -> None:
             "* r5 (damage/format-feature kernel): synth:200000 — 2m33s; "
             "synth:1000000 — 11m44s, 100% ok — matches r4 on a ~1.6x "
             "slower window (kernel-recovery work absorbs the new "
-            "feature cost)\n\n"
+            "feature cost)\n"
+            "* r6 (format-shift-closure kernel): see "
+            "BENCH/SCALE_REHEARSAL.md for this round's rows\n\n"
             "Two scale fixes behind these: the checkpoint chunk width "
             "defaults to the core count (fixed 8-wide chunks left 24 of 32 "
             "cores idle between checkpoint barriers), and the keyed input "
@@ -347,7 +349,9 @@ def main() -> None:
             "| r5 run3 (same code, window check) | 19.56 | 2556 | "
             "72.42 | 0.926 |\n"
             "| r5 run4 (final tree; kernel 909/core) | 19.47 | 2568 | "
-            "78.77 | 1.011 |\n\n"
+            "78.77 | 1.011 |\n"
+            "| r6 run1 (shift-closure kernel + cold figure) | 22.91 | "
+            "2183 | 81.73 | 0.892 |\n\n"
             "r3 run3 beats r1's 4151 docs/s record despite this window's "
             "low-core gauge running ~1.4x slower than r1's. The r4 corpus "
             "is measurably HARDER (the grammar emits the reference's full "
