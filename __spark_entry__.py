@@ -505,6 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.ROWS_ONLY_QUERIES["x_media_frame_sample"],
         "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
         "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
+        "x_stream_extract": x_stream_extract,
+        "x_sketches": sketches.ROWS_ONLY_QUERIES["x_sketches"],
         "x_eval_segmenter": x_eval_segmenter,
         "x_eval_ner": x_eval_ner,
         "x_eval_body": x_eval_body,
@@ -613,6 +615,16 @@ _X_ORACLES = {
 
 _DOCS_KEY = ("SELECT md5(string_agg(doc_id || chr(31) || text, chr(30) "
              "ORDER BY doc_id)) FROM documents")
+
+
+def _jaccard_sql_docs500() -> str:
+    """The brute-force Jaccard pair SQL (dedup._JACCARD_SQL) over the
+    doc_id<500 subset the streaming near-dup entry reads."""
+    from grobid_medical_report_spark.operators.dedup import _JACCARD_SQL
+
+    return _JACCARD_SQL.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id < 500)")
 _EMB_KEY = ("SELECT md5(string_agg(vec_id || chr(31) || to_json(embedding) "
             "|| chr(31) || label, chr(30) ORDER BY vec_id)) FROM embeddings")
 
@@ -656,6 +668,41 @@ _X_ORACLES.update({
         "doc_id, width, height, ppm_bytes, png_bytes, status", _DOCS_KEY),
     "x_media_frame_sample": _keyed_golden(
         "expected_frame_sample", "doc_id, frame_idx, checksum", _DOCS_KEY),
+    # the streaming extract drains the SAME fused cascade over the first
+    # 100 generated docs (constant at every tier), so its truth is a
+    # doc_id-bounded slice of the existing extraction golden — promoting
+    # the entry from rows-only to a value oracle with NO new artifact
+    "x_stream_extract": (
+        'SELECT doc_id, "order", kind, text, media_ref '
+        f"FROM read_parquet('{_GOLDEN_DIR}/expected_spans.parquet') "
+        "WHERE doc_id < 'doc_000100'"),
+    "x_doc_winnowing": _keyed_golden(
+        "expected_winnowing",
+        "doc_id, n_chars, n_fingerprints, fp_digest, min_fingerprint",
+        _DOCS_KEY),
+    # the streaming near-dup is BATCH-EQUAL by construction (foreachBatch
+    # exact verify against the same shingle formula), so its oracle is
+    # the brute-force Jaccard SQL itself — doc_id<500 (the entry's clamp),
+    # pair orientation canonicalized on the STRING ids the stream emits
+    "x_stream_near_dup": (
+        "WITH base AS (" + _jaccard_sql_docs500() + ") "
+        "SELECT least(CAST(doc_a AS VARCHAR), CAST(doc_b AS VARCHAR)) "
+        "AS doc_a, greatest(CAST(doc_a AS VARCHAR), "
+        "CAST(doc_b AS VARCHAR)) AS doc_b, jaccard FROM base"),
+    # Spark-frozen (HLL++/GK are Spark's own mergeable sketches —
+    # deterministic across partitionings, verified at 8 and 32 cores;
+    # the exact_* columns cross-check the approx_* ones in-row), keyed
+    # on a digest of BOTH input tables
+    "x_sketches": _keyed_golden(
+        "expected_sketches",
+        "table_name, approx_keys, exact_keys, approx_p50, exact_p50, "
+        "approx_p95, exact_p95",
+        "SELECT md5((SELECT string_agg(l_orderkey || chr(31) || "
+        "l_linenumber || chr(31) || l_partkey || chr(31) || "
+        "l_extendedprice, chr(30) ORDER BY l_orderkey, l_linenumber) "
+        "FROM lineitem) || chr(29) || (SELECT string_agg(event_id || "
+        "chr(31) || user_id || chr(31) || value, chr(30) "
+        "ORDER BY event_id) FROM events))"),
 })
 
 

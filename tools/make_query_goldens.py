@@ -247,6 +247,26 @@ def expected_media_video(con, tier: str, every: int = 3) -> list[tuple]:
     return rows
 
 
+def expected_winnowing(con, tier: str) -> list[tuple]:
+    """Independent reference: winnow_fingerprints is the SAME pure numpy
+    function make_winnow_golden.py's pair reference is built on (its
+    winnowing guarantee and overlap behavior are pinned in
+    tests/test_winnowing.py); this drives it in a plain loop over duckdb
+    rows, independent of the Spark mapInPandas plumbing."""
+    import hashlib
+
+    from grobid_medical_report_spark.operators.dedup import \
+        winnow_fingerprints
+
+    rows = []
+    for did, text in _docs(con, tier):
+        sel = winnow_fingerprints(text)
+        digest = hashlib.md5(sel.tobytes()).hexdigest()
+        rows.append((did, len(text), int(sel.size), digest,
+                     int(sel[0]) if sel.size else -1))
+    return rows
+
+
 def expected_media_ppm(con, tier: str) -> list[tuple]:
     from grobid_medical_report_spark.functions.media import (
         MediaFormatError, decode_png, make_ppm, ppm_to_png)
@@ -341,6 +361,12 @@ SPECS = {
         cols=[("doc_id", pa.int64()), ("frame_idx", pa.int32()),
               ("checksum", pa.int64())],
         build=expected_frame_sample),
+    "expected_winnowing": dict(
+        key_sql=DOCS_MD5_SQL, key_src="documents",
+        cols=[("doc_id", pa.int64()), ("n_chars", pa.int32()),
+              ("n_fingerprints", pa.int32()), ("fp_digest", pa.string()),
+              ("min_fingerprint", pa.int64())],
+        build=expected_winnowing),
 }
 
 ANN_SPECS = {
@@ -349,6 +375,21 @@ ANN_SPECS = {
 }
 ANN_COLS = [("query_id", pa.int64()), ("vec_id", pa.int64()),
             ("sim", pa.float64()), ("rank", pa.int32())]
+
+#: x_sketches reads lineitem + events — its key digests both tables.
+#: Spark-frozen truth (HLL++/GK sketches are Spark's own mergeable
+#: implementations — deterministic across partitionings, verified at 8
+#: and 32 cores; the exact_* columns cross-check them in the row itself).
+SKETCH_KEY_SQL = (
+    "SELECT md5((SELECT string_agg(l_orderkey || chr(31) || l_linenumber "
+    "|| chr(31) || l_partkey || chr(31) || l_extendedprice, chr(30) "
+    "ORDER BY l_orderkey, l_linenumber) FROM {li}) || chr(29) || "
+    "(SELECT string_agg(event_id || chr(31) || user_id || chr(31) || "
+    "value, chr(30) ORDER BY event_id) FROM {ev}))")
+SKETCH_COLS = [("table_name", pa.string()), ("approx_keys", pa.int64()),
+               ("exact_keys", pa.int64()), ("approx_p50", pa.float64()),
+               ("exact_p50", pa.float64()), ("approx_p95", pa.float64()),
+               ("exact_p95", pa.float64())]
 
 
 def write_keyed(stem: str, spec: dict) -> None:
@@ -381,6 +422,34 @@ def write_anonymize() -> None:
     t = pa.table(data, schema=pa.schema([(c, pa.string()) for c in cols]))
     print(f"expected_anonymize: rows={len(rows)}")
     pq.write_table(t, os.path.join(OUT_DIR, "expected_anonymize.parquet"))
+
+
+def write_sketches(spark=None) -> None:
+    import duckdb
+
+    from grobid_medical_report_spark.operators.sketches import x_sketches
+    from grobid_medical_report_spark.session import get_spark
+
+    if spark is None:
+        spark = get_spark("make_query_goldens")
+        spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    data: dict[str, list] = {"corpus_md5": []}
+    names = [c for c, _t in SKETCH_COLS]
+    for c in names:
+        data[c] = []
+    for tier in TIERS:
+        key = con.execute(SKETCH_KEY_SQL.format(
+            li=f"read_parquet('{tier}/lineitem.parquet')",
+            ev=f"read_parquet('{tier}/events.parquet')")).fetchone()[0]
+        rows = [tuple(r) for r in x_sketches(spark, tier).collect()]
+        print(f"expected_sketches {tier}: key={key[:12]}... rows={len(rows)}")
+        for r in rows:
+            data["corpus_md5"].append(key)
+            for c, v in zip(names, r):
+                data[c].append(v)
+    t = pa.table(data, schema=_schema(SKETCH_COLS))
+    pq.write_table(t, os.path.join(OUT_DIR, "expected_sketches.parquet"))
 
 
 def write_ann() -> None:
@@ -420,6 +489,7 @@ def main() -> None:
         write_keyed(stem, spec)
     write_anonymize()
     write_ann()
+    write_sketches()
     print("done")
 
 
