@@ -92,6 +92,15 @@ _F_STAFF_KW = ("kinesitheropeute", "soge-tenne", "intirniere",
 #: all confusion-class letters and must not read as a street number.
 _RE_STREET_F = _re.compile(r"^(?:[0-9oizsb]{1,4}, "
                            r"|(?=[oizsb]{0,3}[0-9])[0-9oizsb]{1,4} )")
+#: comma-free street number on the RAW line: a true leading digit run is
+#: certain evidence (digits in raw text are not fold artifacts), and the
+#: fold probe's true-digit lookahead misses numbers whose digits ALL have
+#: confusion twins ('810' folds to 'bio', '12' to 'iz' — family B's
+#: comma-dropped street lines fell to bias-only vectors, the last
+#: leftnote format-shift residual). Zero family-A lines match (A streets
+#: carry the comma; postcodes are 5 digits), so A vectors are unchanged
+#: and the committed weights stand without retraining.
+_RE_STREET_RAW = _re.compile(r"^\d{1,4} ")
 _RE_POSTCODE_F = _re.compile(r"^(?:t-)?[0-9oizsb]{5} ")
 
 
@@ -143,7 +152,7 @@ def leftnote_line_features(t: str) -> list[int]:
         f.append(_LF["f_web"])
     if "@" in t:                      # '@' has no confusion twin
         f.append(_LF["f_email"])
-    if _RE_STREET_F.match(ft):
+    if _RE_STREET_F.match(ft) or _RE_STREET_RAW.match(t):
         f.append(_LF["f_street"])
     if _RE_POSTCODE_F.match(ft):
         f.append(_LF["f_postcode"])

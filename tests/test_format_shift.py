@@ -184,3 +184,32 @@ def test_format_shift_segmenter_layout_and_plain():
         r["per_label"]["leftnote"]
     # the tier still bites: the A-template rules cascade fails on B
     assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]
+
+
+def test_format_shift_leftnote_closed():
+    """r6 late close: comma-dropped family-B street lines whose digits all
+    have fold twins ('810' -> 'bio') fell to bias-only vectors; the raw
+    leading-digit f_street branch (zero family-A matches — extensional
+    identity pinned below) restores them without retraining."""
+    r = ev.eval_format_shift("left-note-medical-report", n_docs=150)
+    assert r["micro_accuracy"] >= 0.99, r["micro_accuracy"]
+    assert r["per_label"]["address_street"]["f1"] >= 0.95, \
+        r["per_label"]["address_street"]
+    assert r["rules_micro_accuracy"] < 0.8, r["rules_micro_accuracy"]
+
+
+def test_raw_street_branch_extensionally_identical_on_family_a():
+    from grobid_medical_report_spark.functions.textnorm import ocr_fold
+    from grobid_medical_report_spark.operators import leftnote as ln
+
+    checked = 0
+    for i in range(200):
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            if ZONE_OF[lab] != "leftnote":
+                continue
+            for line in d["spans"][j]["text"].split("\n"):
+                if ln._RE_STREET_RAW.match(line):
+                    assert ln._RE_STREET_F.match(ocr_fold(line)), line
+                checked += 1
+    assert checked > 1500
