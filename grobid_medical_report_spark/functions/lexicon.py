@@ -40,7 +40,13 @@ PERSON_TITLES = ["Dr", "Docteur", "Pr", "Professeur", "Madame", "Monsieur", "Mme
 #: source of truth for every fold-based civility probe (the header
 #: featurizer derives its suppression set from THIS list via ocr_fold, so
 #: adding a civility here keeps the patient-vs-patient_address compound
-#: feature sound instead of silently reopening the confusion; ADVICE r5)
+#: feature sound instead of silently reopening the confusion; ADVICE r5).
+#: BYTE-STABILITY CONSTRAINT (ADVICE r6): corpus.generate_doc draws
+#: rng.choice from THIS list, so resizing it shifts every subsequent rng
+#: draw and breaks the committed goldens and every corpus-hash-keyed
+#: oracle. Scanner-only civility coverage goes in a separate extension
+#: list that featurizers union in (the NER_EXTRA_TERMS pattern) — never
+#: here.
 CIVILITIES = ["Madame", "Monsieur"]
 
 ROLES = [

@@ -61,7 +61,13 @@ def _sessionize(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
     ts_list: list[float] = []
     val_list: list[float] = []
     for pdf in pdfs:
-        ts_list += [t.tz_localize(tz).timestamp() for t in pdf["ts"]]
+        # ambiguous/nonexistent: resolve DST-transition wall-clock times
+        # (fall-back hour on DST-observing session zones) the way Spark's
+        # internal conversion does instead of raising AmbiguousTimeError
+        # and failing the micro-batch (ADVICE r6)
+        ts_list += [t.tz_localize(tz, ambiguous=True,
+                                  nonexistent="shift_forward").timestamp()
+                    for t in pdf["ts"]]
         val_list += list(pdf["value"])
     order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
 
@@ -289,8 +295,15 @@ def _near_dup_bucket(key: Tuple, pdfs: Iterator["pd.DataFrame"],  # noqa: F821
         # ts_max arrives tz-naive in the session zone while the watermark
         # is true-UTC epoch millis — localize explicitly or the TTL horizon
         # is skewed by the zone offset on non-UTC sessions (ADVICE r5)
+        # ambiguous/nonexistent args: a wall-clock time inside a DST
+        # transition (e.g. Europe/Paris fall-back hour) would raise
+        # AmbiguousTimeError and fail the whole micro-batch; resolve it
+        # the way Spark's own internal conversion does — pick the DST
+        # side / shift forward — instead of crashing (ADVICE r6)
         state.setTimeoutTimestamp(
-            int(ts_max.tz_localize(tz).timestamp() * 1000) + ttl_ms)
+            int(ts_max.tz_localize(tz, ambiguous=True,
+                                   nonexistent="shift_forward")
+                .timestamp() * 1000) + ttl_ms)
     yield pd.DataFrame(out, columns=["doc_id", "dup_of", "band",
                                      "est_jaccard"])
 

@@ -49,6 +49,22 @@ def test_keyed_golden_matches_independent_reference(stem):
         sorted(repr(tuple(r)) for r in fresh), stem
 
 
+def test_training_golden_matches_independent_reference():
+    """expected_training is the per-doc training-row logic driven by a
+    plain pandas loop over generate_doc fixtures (r7, VERDICT r6 item 2) —
+    regenerate and compare cell-for-cell, like the extraction truths."""
+    fresh = mg.expected_training()
+    t = pq.read_table(
+        os.path.join(mg.OUT_DIR, "expected_training.parquet")).to_pylist()
+    cols = ["model", "doc_id", "line_idx", "tok_idx", "text", "label",
+            "n_chars", "n_tokens", "upper_ratio", "digit_ratio",
+            "punct_profile", "ends_colon", "starts_dash", "rel_pos_bin",
+            "repeat_count", "is_media"]
+    committed = [tuple(r[c] for c in cols) for r in t]
+    assert len(committed) == len(fresh)
+    assert sorted(map(repr, committed)) == sorted(map(repr, map(tuple, fresh)))
+
+
 def test_anonymize_golden_matches_generator_truth():
     fresh = mg.expected_anonymize()
     t = pq.read_table(

@@ -267,6 +267,42 @@ def expected_winnowing(con, tier: str) -> list[tuple]:
     return rows
 
 
+def expected_media_features(con, tier: str) -> list[tuple]:
+    """Plain loop over duckdb rows driving the same decode stub the Spark
+    mapInPandas stage calls — independent of the Arrow/batch plumbing.
+    Exploded long form (r7): one row per (doc, feat_idx)."""
+    from grobid_medical_report_spark.operators.multimodal import decode_stub
+
+    rows = []
+    for did, text in _docs(con, tier):
+        p = text.encode("utf-8")
+        codec = "pcm16" if did % 2 == 0 else "rgb8"
+        for k, v in enumerate(decode_stub(p, codec)):
+            rows.append((did, codec, k, v))
+    return rows
+
+
+def expected_media_resize(con, tier: str, target: int = 16) -> list[tuple]:
+    """The area-average bucket formula in a plain loop (rgb8 = odd doc_ids),
+    independent of the Spark stage. Exploded long form (r7)."""
+    rows = []
+    for did, text in _docs(con, tier):
+        if did % 2 == 0:          # media_table: rgb8 = odd doc_ids
+            continue
+        p = text.encode("utf-8")
+        px = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+        if px.size == 0:
+            buckets = [0.0] * target
+        else:
+            edges = np.linspace(0, px.size, target + 1).astype(int)
+            sums = np.add.reduceat(px, edges[:-1])
+            widths = np.maximum(np.diff(edges), 1)
+            buckets = np.round(sums / widths, 6).tolist()
+        for k, v in enumerate(buckets):
+            rows.append((did, len(p), k, v))
+    return rows
+
+
 def expected_media_ppm(con, tier: str) -> list[tuple]:
     from grobid_medical_report_spark.functions.media import (
         MediaFormatError, decode_png, make_ppm, ppm_to_png)
@@ -367,6 +403,16 @@ SPECS = {
               ("n_fingerprints", pa.int32()), ("fp_digest", pa.string()),
               ("min_fingerprint", pa.int64())],
         build=expected_winnowing),
+    "expected_media_features": dict(
+        key_sql=DOCS_MD5_SQL, key_src="documents",
+        cols=[("doc_id", pa.int64()), ("codec", pa.string()),
+              ("feat_idx", pa.int32()), ("value", pa.float64())],
+        build=expected_media_features),
+    "expected_media_resize": dict(
+        key_sql=DOCS_MD5_SQL, key_src="documents",
+        cols=[("doc_id", pa.int64()), ("src_bytes", pa.int32()),
+              ("bucket_idx", pa.int32()), ("value", pa.float64())],
+        build=expected_media_resize),
 }
 
 ANN_SPECS = {
@@ -412,6 +458,87 @@ def write_keyed(stem: str, spec: dict) -> None:
                 data[c].append(v)
     t = pa.table(data, schema=_schema(spec["cols"]))
     pq.write_table(t, os.path.join(OUT_DIR, f"{stem}.parquet"))
+
+
+def expected_training(n_docs: int = 200) -> list[tuple]:
+    """INDEPENDENT of the Spark plumbing: the per-doc training-row logic
+    (_training_batches) driven by a plain pandas loop over generate_doc
+    fixtures — the same discipline as the media goldens. The corpus is a
+    pure function of (seed, index) and n=200 is constant at every tier
+    (documents.parquet holds >=500 docs in all of them), so the table is
+    a plain golden like expected_anonymize."""
+    import pandas as pd
+
+    from grobid_medical_report_spark.corpus import generate_doc
+    from grobid_medical_report_spark.operators.training import \
+        _training_batches
+
+    rows = []
+    for i in range(n_docs):
+        d = generate_doc(i)
+        pdf = pd.DataFrame({"doc_id": [d["doc_id"]], "spans": [d["spans"]]})
+        for out in _training_batches(iter([pdf])):
+            for r in out.itertuples(index=False):
+                f = r.features
+                rows.append((r.model, r.doc_id, r.line_idx, r.tok_idx,
+                             r.text, r.label, f["n_chars"], f["n_tokens"],
+                             f["upper_ratio"], f["digit_ratio"],
+                             f["punct_profile"], f["ends_colon"],
+                             f["starts_dash"], f["rel_pos_bin"],
+                             f["repeat_count"], f["is_media"]))
+    return rows
+
+
+def write_training() -> None:
+    rows = expected_training()
+    cols = [("model", pa.string()), ("doc_id", pa.string()),
+            ("line_idx", pa.int32()), ("tok_idx", pa.int32()),
+            ("text", pa.string()), ("label", pa.string()),
+            ("n_chars", pa.int32()), ("n_tokens", pa.int32()),
+            ("upper_ratio", pa.float64()), ("digit_ratio", pa.float64()),
+            ("punct_profile", pa.string()), ("ends_colon", pa.bool_()),
+            ("starts_dash", pa.bool_()), ("rel_pos_bin", pa.int32()),
+            ("repeat_count", pa.int32()), ("is_media", pa.bool_())]
+    names = [c for c, _ in cols]
+    data = {c: [r[i] for r in rows] for i, c in enumerate(names)}
+    t = pa.table(data, schema=pa.schema(cols))
+    print(f"expected_training: rows={len(rows)}")
+    pq.write_table(t, os.path.join(OUT_DIR, "expected_training.parquet"))
+
+
+EVAL_STEMS = {
+    "expected_eval_segmenter": "x_eval_segmenter",
+    "expected_eval_ner": "x_eval_ner",
+    "expected_eval_body": "x_eval_body",
+    "expected_eval_header_fields": "x_eval_header_fields",
+}
+EVAL_COLS = [("label", pa.string()), ("support", pa.int64()),
+             ("precision", pa.float64()), ("recall", pa.float64()),
+             ("f1", pa.float64())]
+
+
+def write_evals() -> None:
+    """SPARK-FROZEN metric pins (VERDICT r6 item 3): the four eval-harness
+    queries are deterministic given the committed model JSONs and the
+    seeded corpus (P/R/F are divisions of EXACT integer counts rounded to
+    4 — no double partial-sum ambiguity), and clamp to n=200 docs at every
+    tier. The independent truth signal is tests/test_evaluation.py, which
+    asserts f1 == 1.0 per label on the golden corpus; these goldens pin
+    the full metric table for the driver's hash gate."""
+    from grobid_medical_report_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("make_query_goldens")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [c for c, _ in EVAL_COLS]
+    for stem, qname in EVAL_STEMS.items():
+        fn = getattr(entrymod, qname)
+        rows = [tuple(r) for r in fn(spark, TIERS[1]).collect()]
+        data = {c: [r[i] for r in rows] for i, c in enumerate(names)}
+        t = pa.table(data, schema=pa.schema(EVAL_COLS))
+        print(f"{stem}: rows={len(rows)}")
+        pq.write_table(t, os.path.join(OUT_DIR, f"{stem}.parquet"))
 
 
 def write_anonymize() -> None:
@@ -484,12 +611,24 @@ def write_ann() -> None:
 
 
 def main() -> None:
+    """Regenerate all goldens, or only those whose stem contains the
+    optional ``sys.argv[1]`` substring (keeps unrelated committed parquet
+    byte-identical when promoting a single query)."""
+    flt = sys.argv[1] if len(sys.argv) > 1 else ""
     os.makedirs(OUT_DIR, exist_ok=True)
     for stem, spec in SPECS.items():
-        write_keyed(stem, spec)
-    write_anonymize()
-    write_ann()
-    write_sketches()
+        if flt in stem:
+            write_keyed(stem, spec)
+    if flt in "expected_anonymize":
+        write_anonymize()
+    if flt in "expected_training":
+        write_training()
+    if any(flt in s for s in EVAL_STEMS):
+        write_evals()
+    if any(flt in s for s in ANN_SPECS):
+        write_ann()
+    if flt in "expected_sketches":
+        write_sketches()
     print("done")
 
 
