@@ -99,13 +99,102 @@ BODY_FEATURES = ("bias", "g_figure", "g_table", "g_item", "g_medic",
                  # start and an all-caps short heading — fire in family A
                  # ('- item', 'TITRE :') so training weights them, and keep
                  # firing on family B's '• item' / '1. TITRE' renderings
-                 "c_bullet", "c_caps_head")
+                 "c_bullet", "c_caps_head",
+                 # r7 DAMAGE-INVARIANT features (noisy tier, VERDICT r6
+                 # item 7): keyword/lexicon membership probed through the
+                 # damage signature (_dmg_sig) — the OCR fold with spaces
+                 # dropped and chars sorted. Every corrupt_text mode maps a
+                 # line to the SAME signature (accent strip + OCR sub fold
+                 # to one class rep, adjacent transpose permutes the
+                 # multiset, spacing insertion only adds a dropped space),
+                 # so these features are EQUAL on a line and its corrupted
+                 # twin: evidence the exact g_* templates lose under noise
+                 "fz_figure", "fz_table", "fz_medic", "fz_sec_lex",
+                 "fz_sub_lex")
 _BL = {b: i for i, b in enumerate(BODY_LABELS)}
 _BF = {f: i for i, f in enumerate(BODY_FEATURES)}
 
 BODY_MODEL_PATH = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "models", "body_model.json")
+
+
+from ..functions.textnorm import ocr_fold as _ocr_fold  # noqa: E402
+
+
+def _dmg_sig(s: str) -> tuple[str, str]:
+    """Damage signature: (first fold char, sorted fold chars, spaces
+    dropped). Invariant under EVERY corrupt_text mode — ocr_fold closes
+    over the _OCR_SUBS/_ACCENTS pairs (one class representative per
+    confusion set), transpose permutes the multiset without touching the
+    first char, and spacing damage only inserts the char this drops."""
+    f = _ocr_fold(s).replace(" ", "")
+    return (f[:1], "".join(sorted(f)))
+
+
+def _sigs(words) -> frozenset:
+    return frozenset(_dmg_sig(w) for w in words)
+
+
+_SIG_SECTIONS = _sigs(SECTIONS)
+_SIG_SUBSECTIONS = _sigs(SUBSECTIONS)
+_SIG_MEDIC_TITLES = _sigs(("Docteur", "Dr", "Pr"))
+_SIG_FIGURE = _dmg_sig("Figure")
+_SIG_TABLE = _dmg_sig("Tableau")
+#: fold images of the digits 0-9 (digit confusables fold to letters)
+_FOLD_DIGITS = frozenset(_ocr_fold("0123456789"))
+#: heading enumeration token ('1.' / '12)') — family-B numbered headings
+_RE_ENUM = re.compile(r"^\d{1,2}[.)]$")
+
+
+def _fz_flags(text: str) -> tuple[bool, bool, bool, bool, bool]:
+    """(figure, table, medic, sec_lex, sub_lex) via damage signatures.
+    Self-gated on cheap shape tests so multi-hundred-char paragraphs skip
+    the signature work: captions/heads need a colon in the first 40 chars,
+    name lines need a short colon-free line."""
+    fig = tab = med = sec = sub = False
+    ci = text.find(":", 0, 40)
+    if ci >= 0:
+        head = text[:ci]
+        htoks = head.split()
+        # caption head '<KW> <num> :': last head token all fold-digits,
+        # the rest (joined, so a spacing-split 'Fig ure' rejoins)
+        # sig-matches the caption keyword
+        if len(htoks) >= 2 and htoks[-1] and \
+                all(c in _FOLD_DIGITS for c in _ocr_fold(htoks[-1])):
+            kw = _dmg_sig("".join(htoks[:-1]))
+            fig = kw == _SIG_FIGURE
+            tab = kw == _SIG_TABLE
+        if not text[ci + 1:].strip():
+            # colon-TERMINATED line: heading-lexicon membership decides
+            # the level (the fixture's level rule), probed by signature
+            stem = _dmg_sig(head)
+            sec = stem in _SIG_SECTIONS
+            sub = stem in _SIG_SUBSECTIONS
+    elif ":" not in text and len(text) <= 40:
+        toks = text.split()
+        # colon-FREE section head: a second grammar family numbers its
+        # headings ('1. DIAGNOSTIC') instead of colon-terminating them —
+        # strip the enumeration and probe the same lexicon signature.
+        # ZERO family-A lines hit this branch (A sections always carry
+        # ' :'), so clean vectors are untouched (the r5/r6 extensional-
+        # identity rule) while the retrained weight that moved from
+        # c_caps_head onto fz_sec_lex keeps firing on family B.
+        if toks and _RE_ENUM.match(toks[0]):
+            if _dmg_sig("".join(toks[1:])) in _SIG_SECTIONS:
+                sec = True
+        if 2 <= len(toks) <= 4:
+            t0 = toks[0].rstrip(".")
+            if _dmg_sig(t0) in _SIG_MEDIC_TITLES:
+                med = True                      # 'Docteur X ...' titled
+            elif (len(toks) <= 3 and toks[0][:1].isupper()
+                  and not toks[0].isupper()
+                  and len(toks[-1]) >= 2
+                  and not any(c.islower() for c in toks[-1])
+                  and all(f.isalpha()
+                          for f in _ocr_fold("".join(toks)))):
+                med = True                      # bare 'Margo COCO' name
+    return fig, tab, med, sec, sub
 
 
 def body_line_features(text: str, lay_heading: bool = False,
@@ -142,6 +231,17 @@ def body_line_features(text: str, lay_heading: bool = False,
         if (4 <= len(alpha)
                 and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha)):
             f.append(_BF["c_caps_head"])
+    fig, tab, med, sec, sub = _fz_flags(text)
+    if fig:
+        f.append(_BF["fz_figure"])
+    if tab:
+        f.append(_BF["fz_table"])
+    if med:
+        f.append(_BF["fz_medic"])
+    if sec:
+        f.append(_BF["fz_sec_lex"])
+    if sub:
+        f.append(_BF["fz_sub_lex"])
     return f
 
 

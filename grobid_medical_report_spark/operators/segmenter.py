@@ -249,6 +249,9 @@ _F_STREET = tuple(ocr_fold(w) for w in
 #: fixture's 'Chef de Service : Pr. A. Gautier Pr Robin HOOD') has no
 #: comma-role tail, so this never fires on A.
 _RE_PREFIXED_MEDIC = re.compile(r"^[^:]+ ?: ?(?:Dr|Docteur|Pr)\.? .+, .+$")
+#: short field-label prefix ('Adresse : ', 'Date de naissance : ') — the
+#: labeled-value shape header fields take in a second grammar family
+_RE_LABEL_PREFIX = re.compile(r"^[A-Za-zÀ-ÿ'’()/ ]{2,24} ?: ")
 
 
 @lru_cache(maxsize=131072)
@@ -270,6 +273,25 @@ def _front_flags_resolved(t: str) -> tuple[bool, bool]:
     # neither template fired: label-intrinsic content fallback
     if any(c in ft for c in _F_CIV) or ft.startswith("sexe"):
         return False, True               # a letterhead never names a patient
+    if any(d in ft for d in _F_DTS):
+        # exact doctype CONTENT is definitive header evidence and must be
+        # tiered ABOVE the fuzzy-shape probes: the folded tail of a
+        # lowercased doctype ("...hospitoiisotion") is a 5-run of digit
+        # confusables that lights _RE_PC5_F, turning definitive evidence
+        # into a left/hdr tie (r7 plain-view residual; the r6 fold-probe
+        # lesson — fuzzy probes over confusable classes must never outvote
+        # an exact content match)
+        return False, True
+    m_lab = _RE_LABEL_PREFIX.match(t)
+    if m_lab:
+        rest_f = ocr_fold(t[m_lab.end():])
+        if any(s in rest_f for s in _F_STREET) or _RE_PC5_F.search(rest_f):
+            # a colon-LABELED postal value ('Adresse : 277, Boulevard X
+            # [94000] CITY') is a patient-address header line: letterhead
+            # street/postcode lines are BARE in both families (A: '79,
+            # Avenue ...' / B comma-dropped '79 Avenue ...'), so a field
+            # label in front of street content is header-only evidence
+            return False, True
     hdr_ev = (_RE_DATE_F.search(ft) or _RE_ANS_F.search(ft)
               or _RE_DRTOK_F.search(ft) or _RE_IDRUN_F.search(ft)
               or any(d in ft for d in _F_DTS))
