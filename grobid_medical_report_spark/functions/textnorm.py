@@ -101,7 +101,14 @@ _OCR_FOLD_TBL = str.maketrans({
     **_OCR_FOLD_CLASSES})
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=131072)
 def ocr_fold(text: str) -> str:
     """Lowercase, accent-strip, then map every char to its OCR-confusion
-    class representative (length-preserving)."""
+    class representative (length-preserving). Memoized (r7): the fold is
+    recomputed for the SAME line by several featurizers (segmenter fuzzy
+    facts, header/leftnote probes, body damage signatures) — ~145k calls
+    per 1500 cold docs over far fewer distinct strings."""
     return text.lower().translate(_OCR_FOLD_TBL)

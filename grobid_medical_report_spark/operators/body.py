@@ -141,8 +141,10 @@ _SIG_SUBSECTIONS = _sigs(SUBSECTIONS)
 _SIG_MEDIC_TITLES = _sigs(("Docteur", "Dr", "Pr"))
 _SIG_FIGURE = _dmg_sig("Figure")
 _SIG_TABLE = _dmg_sig("Tableau")
-#: fold images of the digits 0-9 (digit confusables fold to letters)
+#: fold images of the digits 0-9 (digit confusables fold to letters);
+#: the str form drives C-level strip() membership tests on the hot path
 _FOLD_DIGITS = frozenset(_ocr_fold("0123456789"))
+_FOLD_DIGITS_STR = "".join(_FOLD_DIGITS)
 #: heading enumeration token ('1.' / '12)') — family-B numbered headings
 _RE_ENUM = re.compile(r"^\d{1,2}[.)]$")
 
@@ -161,7 +163,7 @@ def _fz_flags(text: str) -> tuple[bool, bool, bool, bool, bool]:
         # the rest (joined, so a spacing-split 'Fig ure' rejoins)
         # sig-matches the caption keyword
         if len(htoks) >= 2 and htoks[-1] and \
-                all(c in _FOLD_DIGITS for c in _ocr_fold(htoks[-1])):
+                not _ocr_fold(htoks[-1]).strip(_FOLD_DIGITS_STR):
             kw = _dmg_sig("".join(htoks[:-1]))
             fig = kw == _SIG_FIGURE
             tab = kw == _SIG_TABLE
@@ -191,8 +193,7 @@ def _fz_flags(text: str) -> tuple[bool, bool, bool, bool, bool]:
                   and not toks[0].isupper()
                   and len(toks[-1]) >= 2
                   and not any(c.islower() for c in toks[-1])
-                  and all(f.isalpha()
-                          for f in _ocr_fold("".join(toks)))):
+                  and _ocr_fold("".join(toks)).isalpha()):
                 med = True                      # bare 'Margo COCO' name
     return fig, tab, med, sec, sub
 

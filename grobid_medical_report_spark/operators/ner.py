@@ -151,8 +151,8 @@ def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
     if "/" in text:        # implied by the fuzzy date shape (cold-path gate)
         out += [(m.start(), m.end(), "date")
                 for m in RE_DATE_FUZZY.finditer(text)]
-    out.sort()
-    return tuple(out)
+        out.sort()         # lexicon hits alone arrive start-sorted from
+    return tuple(out)      # finditer — only date appends can disorder them
 
 
 def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
@@ -209,18 +209,27 @@ def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
                 s, e = m.start(1), m.end(1)
                 cands.append((s, s - e, _PRIORITY["value"], e, "value",
                               m.group(1)))
-    for m in RE_PERSNAME.finditer(text):
-        s, e = m.start(), m.end()
-        # trailing period folds in at end-of-text (fixture: "...ROUX.")
-        if e == len(text) - 1 and text.endswith("."):
-            e += 1
-        cands.append((s, s - e, _PRIORITY["persname"], e, "persname",
-                      text[s:e]))
-    for m in RE_ROLENAME.finditer(text):
-        if text[m.start()].isupper():
+    # C-level substring gates for the title/role scans too (r7 cold path):
+    # RE_PERSNAME can only match where one of its literal title tokens
+    # occurs, RE_ROLENAME where one of its capitalized role words occurs —
+    # a miss on every gate (most prose paragraphs) skips the regex pass
+    # entirely, matches unchanged when any gate hits
+    if ("Dr" in text or "Pr" in text or "Docteur" in text
+            or "Madame" in text or "Monsieur" in text):
+        for m in RE_PERSNAME.finditer(text):
             s, e = m.start(), m.end()
-            cands.append((s, s - e, _PRIORITY["rolename"], e, "rolename",
-                          m.group(0)))
+            # trailing period folds in at end-of-text (fixture: "...ROUX.")
+            if e == len(text) - 1 and text.endswith("."):
+                e += 1
+            cands.append((s, s - e, _PRIORITY["persname"], e, "persname",
+                          text[s:e]))
+    if ("Patient" in text or "Opérateur" in text
+            or "Anesthésiste" in text):
+        for m in RE_ROLENAME.finditer(text):
+            if text[m.start()].isupper():
+                s, e = m.start(), m.end()
+                cands.append((s, s - e, _PRIORITY["rolename"], e,
+                              "rolename", m.group(0)))
     cands.sort()
     return cands
 
@@ -493,6 +502,10 @@ _SEG_DECODE_CACHE: dict = {}
 #: intervals (96% of them): the whole feature matrix is a pure function of
 #: the shapes there, so the numpy decode runs once per distinct signature
 _SINGLE_CACHE: dict = {}
+#: (interval slice text, cat, fuzzy cat) -> [(rel_start, rel_end, type)]
+#: for MIRROR intervals (r7): dedups the token scan and shape bytes across
+#: repeated boilerplate slices, one string-slice + dict hit per interval
+_MIRROR_CACHE: dict = {}
 
 
 def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
@@ -515,12 +528,18 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
     # features the full decode sees, so intervals must cover them for the
     # pinned hot-path == full-decode equality), grouping each interval's
     # candidates inline — no per-interval rescan
-    spans = [(c[0], c[3], c, 0) for c in cands]
-    spans += [(s, e, (s, e, cat), 1)
+    # keyless sort (r7 cold path: the key lambda ran ~350k times per 1500
+    # docs): element order is (s, e, kind, obj) so the plain tuple compare
+    # reproduces the old (s, e)-key stable order exactly — exact spans
+    # (kind 0) still precede fuzzy spans on (s, e) ties, and exact-exact
+    # ties compare obj = the candidate tuple, whose leading fields are the
+    # candidates() sort key, i.e. the insertion order the stable sort kept
+    spans = [(c[0], c[3], 0, c) for c in cands]
+    spans += [(s, e, 1, (s, e, cat))
               for s, e, cat in fuzzy_candidates(text)]
-    spans.sort(key=lambda t: (t[0], t[1]))
+    spans.sort()
     ivs: list[list] = []
-    for s, e, obj, kind in spans:
+    for s, e, kind, obj in spans:
         if ivs and s <= ivs[-1][1]:
             if e > ivs[-1][1]:
                 ivs[-1][1] = e
@@ -530,40 +549,59 @@ def decode_entities(text: str, W=None) -> list[dict[str, Any]]:
             ivs[-1][2 + kind].append(obj)
     out: list[dict[str, Any]] = []
     for a, b, seg, fseg in ivs:
-        toks = [(m.start(), m.end())
-                for m in RE_TOKEN.finditer(text, a, b)]
-        if not toks:
-            continue
-        n = len(toks)
         # MIRROR fast path (cold-path hot case, ~80% of clean-text
         # intervals): ONE exact candidate spanning the whole interval,
         # with either no fuzzy span or exactly its fold mirror (same
-        # span). Then ci0 = 0, the candidate covers all n tokens, and the
-        # fmarks signature is fully determined by (fuzzy cat, n) — so the
-        # cache key collapses to (cat, fcat, shapes) with no tstart dict
-        # and no per-token fmark lists. Key space is disjoint from the
-        # general single-candidate path via the leading 0/1 marker.
+        # span). Then ci0 = 0, the candidate covers all tokens, and the
+        # fmarks signature is fully determined by the fuzzy cat — so the
+        # interval's ENTITIES (relative to a) are a pure function of
+        # (slice text, cat, fcat): RE_TOKEN has no lookarounds (its
+        # finditer(text, a, b) tokenization depends only on text[a:b])
+        # and token_features only reads chars/spans inside the interval.
+        # The r7 _MIRROR_CACHE keys on that triple directly, deduping the
+        # token scan + shape bytes too, not just the decode (boilerplate
+        # slices — dates, names, drug+dose — repeat massively across
+        # docs). Decode signatures stay in _SINGLE_CACHE underneath.
         if (W is None and len(seg) == 1
                 and seg[0][0] == a and seg[0][3] == b
                 and (not fseg or (len(fseg) == 1 and fseg[0][0] == a
                                   and fseg[0][1] == b))):
             cat = seg[0][4]
-            shapes = bytes(_char_shape(text[s]) for s, _e in toks)
-            key1 = (0, cat, fseg[0][2] if fseg else None, shapes)
-            runs = _SINGLE_CACHE.get(key1)
-            if runs is None:
-                X = token_features(text, toks, seg)
-                em = X @ _ner_weights().T
-                runs = _tags_to_runs(
-                    [NER_STATES[p] for p in _bio_decode(em)])
-                if len(_SINGLE_CACHE) >= 100_000:
-                    _SINGLE_CACHE.clear()
-                _SINGLE_CACHE[key1] = runs
-            for tcat, i0, j1 in runs:
-                s0, s1 = toks[i0][0], toks[j1][1]
+            fcat = fseg[0][2] if fseg else None
+            key0 = (text[a:b], cat, fcat)
+            ents = _MIRROR_CACHE.get(key0)
+            if ents is None:
+                toks = [(m.start(), m.end())
+                        for m in RE_TOKEN.finditer(text, a, b)]
+                ents = []
+                if toks:
+                    shapes = bytes(_char_shape(text[s]) for s, _e in toks)
+                    key1 = (0, cat, fcat, shapes)
+                    runs = _SINGLE_CACHE.get(key1)
+                    if runs is None:
+                        X = token_features(text, toks, seg)
+                        em = X @ _ner_weights().T
+                        runs = _tags_to_runs(
+                            [NER_STATES[p] for p in _bio_decode(em)])
+                        if len(_SINGLE_CACHE) >= 100_000:
+                            _SINGLE_CACHE.clear()
+                        _SINGLE_CACHE[key1] = runs
+                    for tcat, i0, j1 in runs:
+                        ents.append((toks[i0][0] - a, toks[j1][1] - a,
+                                     tcat))
+                if len(_MIRROR_CACHE) >= 100_000:
+                    _MIRROR_CACHE.clear()
+                _MIRROR_CACHE[key0] = ents
+            for rs, re_, tcat in ents:
+                s0, s1 = a + rs, a + re_
                 out.append({"type": tcat, "text": text[s0:s1],
                             "start": s0, "end": s1})
             continue
+        toks = [(m.start(), m.end())
+                for m in RE_TOKEN.finditer(text, a, b)]
+        if not toks:
+            continue
+        n = len(toks)
         tstart = {s: i for i, (s, _e) in enumerate(toks)}
         # fuzzy per-token feature marks (mirrors token_features exactly)
         fmarks: list[list[int]] = [[] for _ in toks]
