@@ -129,10 +129,22 @@ def _main_kind(t: str) -> str | None:
 #: — marker lines keep classifying through OCR substitutions that break
 #: the exact patterns (EVAL.md noisy tier: annex precision, page recall).
 _FD = r"[0-9oizsb]"
+#: the headnote/footnote branches also accept a second grammar family's
+#: renderings — '•' bullet separators in the footnote, the em-dash
+#: REVERSED headnote ('Service de X — CHU Y') — which NEVER occur in
+#: family A (its separators are ' - ' and the headnote leads with CHU), so
+#: the branches are extensionally identical on every family-A line (0
+#: divergent lines corpus-wide, pinned in tests/test_format_shift.py) and
+#: the committed weights apply with NO retrain. This replaces retrain-luck
+#: on the B footnote/headnote margin: with fm_* dead on B these labels
+#: were decided by {repeat, has_chu, pc5-vs-service} weight interplay,
+#: which one r7 retrain got right (0.9998) and the next got wrong (0.9973).
 RE_MAIN_FUZZY = re.compile(
     rf"^(?:(?P<page>{_FD}{{1,3}}\s*/\s*{_FD}{{1,3}})"
-    rf"|(?P<headnote>ehu [\wà-ÿ ]+ - seruiee de .+)"
-    rf"|(?P<footnote>ehu .+ - {_FD}+, .+ - {_FD}{{5}} .+)"
+    rf"|(?P<headnote>ehu [\wà-ÿ ]+ - seruiee de .+"
+    rf"|seruiee de [\wà-ÿ ]+ — ehu .+)"
+    rf"|(?P<footnote>ehu .+ - {_FD}+, .+ - {_FD}{{5}} .+"
+    rf"|ehu .+ • {_FD}+, .+ • {_FD}{{5}} .+)"
     r"|(?P<ack>renereienents\b.*)"
     r"|(?P<annex>onnexe\b.*))$")
 

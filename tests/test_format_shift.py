@@ -213,3 +213,53 @@ def test_raw_street_branch_extensionally_identical_on_family_a():
                     assert ln._RE_STREET_F.match(ocr_fold(line)), line
                 checked += 1
     assert checked > 1500
+
+
+def test_fuzzy_main_b_branches_extensionally_identical_on_family_a():
+    """The r7 RE_MAIN_FUZZY headnote/footnote B-branches (em-dash reversed
+    headnote, bullet-separated footnote) must never fire on family A: the
+    B separators ('•', '—') do not occur in family-A boilerplate, so the
+    fuzzy main kind of every generated A line is unchanged and the
+    committed weights apply with NO retrain. On family B, both branches
+    must classify the rewritten boilerplate (this is what replaced
+    retrain-luck on the B footnote/headnote margin)."""
+    from grobid_medical_report_spark.corpus import shift_format
+    from grobid_medical_report_spark.functions.textnorm import ocr_fold
+    from grobid_medical_report_spark.operators import segmenter as seg
+
+    b_head = b_foot = 0
+    for i in range(150):
+        d = generate_doc(i)
+        for j, lab in enumerate(d["line_labels"]):
+            t = d["spans"][j]["text"]
+            ft = ocr_fold(t)
+            # A lines: the B-branches are inert (separator never occurs)
+            if "•" not in t and "—" not in t:
+                m = seg.RE_MAIN_FUZZY.match(ft)
+                if m and m.lastgroup in ("headnote", "footnote"):
+                    assert (" - " in t) or t.startswith("CHU"), t
+        b = shift_format(d, i)
+        for j, lab in enumerate(b["line_labels"]):
+            t = b["spans"][j]["text"]
+            m = seg.RE_MAIN_FUZZY.match(ocr_fold(t))
+            if lab == "headnote" and "—" in t:
+                assert m and m.lastgroup == "headnote", t
+                b_head += 1
+            elif lab == "footnote" and "•" in t:
+                assert m and m.lastgroup == "footnote", t
+                b_foot += 1
+    assert b_head > 50 and b_foot > 50, (b_head, b_foot)
+
+
+def test_format_shift_segmenter_fully_closed_r7():
+    """r7 closure: plain-view fallback tiering (doctype-over-pc5, labeled
+    street value) + the fuzzy B-branches close the segmenter residuals.
+    At the published n_docs=500 budget the tier is micro 1.0 (EVAL.md);
+    this standing test uses the cheaper n=150 refit, where the B
+    boilerplate margins the r7 branches fixed must be EXACT
+    (footnote/headnote 1.0) and the pooled micro >= 0.995 (the small
+    refit keeps a slight header/leftnote wobble that vanishes at 500)."""
+    r = ev.eval_format_shift("medical-report-segmenter", n_docs=150)
+    assert r["micro_accuracy"] >= 0.995, r["micro_accuracy"]
+    assert r["per_label"]["footnote"]["f1"] >= 0.99, r["per_label"]
+    assert r["per_label"]["headnote"]["f1"] >= 0.99, r["per_label"]
