@@ -168,9 +168,67 @@ _TITLE_FOLDS = {_fold(x) for x in _TITLES}
 #: postal prefix ('F-75001') — a real-world convention, and its fold is
 #: 't-' (both accepted so the probe survives OCR damage too)
 _FD5 = re.compile(r"(?:[Ff]-|t-)?(?=[^\d]*\d)[0-9oizsb]{5}")
+
+
+# --------------------------------------------------------------------------
+# transpose-signature fallback (r7): corrupt_text's adjacent transpose
+# (tokens >= 5 chars, interior positions only) reorders characters the
+# fold cannot repair ('SERVCIE', 'Insttiut', 'Untié' — the organization
+# noisy tier's remaining misses all traced to transposed keywords). The
+# signature keeps the FIRST and LAST fold chars (a transpose never touches
+# either end) and sorts the interior — invariant under any number of
+# interior transposes, and closed over fold (accent/sub damage) too.
+# Tables hold only keywords long enough to BE transposable (len >= 5);
+# the probe chain stays exact -> fold -> signature, so clean behavior is
+# unchanged wherever the earlier tiers fire.
+# --------------------------------------------------------------------------
+
+def _tsig(fl: str) -> str:
+    if len(fl) < 3:
+        return fl
+    return fl[0] + "".join(sorted(fl[1:-1])) + fl[-1]
+
+
+def _sig_set(folds) -> frozenset:
+    return frozenset(_tsig(f) for f in folds if len(f) >= 5)
+
+
+_NE_SIGS = _sig_set(_NE_FOLDS)
+_DECEDE_SIGS = _sig_set(_DECEDE_FOLDS)
+_STREET_SIGS = _sig_set(_STREET_FOLDS)
+_BUILDING_SIGS = _sig_set(_BUILDING_FOLDS)
+_ASSOC_SIGS = _sig_set(_ASSOC_FOLDS)
+_ORG_SELF_SIGS = {_tsig(f): v for f, v in _ORG_SELF_FOLDS.items()
+                  if len(f) >= 5}
+_TITLE_SIGS = _sig_set(_TITLE_FOLDS)
+_SERVICE_SIG = _tsig(_fold("SERVICE"))
+_DEMEURANT_SIG = _tsig(_fold("Demeurant"))
+_CEDEX_SIG = _tsig(_fold("Cedex"))
+_FRANCE_SIG = _tsig(_fold("France"))
+_COURRIEL_SIG = _tsig(_fold("courriel"))
+_QUARTIER_SIG = _tsig(_fold("Quartier"))
+_COMMUNE_SIG = _tsig(_fold("Commune"))
+
+
+def _city_sigs():
+    global _CITY_SIGS
+    if _CITY_SIGS is None:
+        _CITY_SIGS = _sig_set(_city_folds())
+    return _CITY_SIGS
+
+
+_CITY_SIGS = None
 RE_DATE_SHAPE_F = re.compile(
     r"(?=[^\d]*\d)[0-9oizsb]{1,2}/[0-9oizsb]{1,2}(/[0-9oizsb]{2,4})?,?")
 RE_TIME_SHAPE_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{1,2}h[0-9oizsb]{2},?")
+#: transpose-tolerant date/time shapes (r7): an adjacent transpose can
+#: drag a digit across the '/' or 'h' ('29/04' -> '2/904'), which no
+#: positional pattern survives — but the CHARACTER MULTISET does: only
+#: fold-digits and the separator, separator count 1-2 (date) / exactly 1
+#: (time), at least one true digit. Positional tiers stay first; these
+#: only widen (extensional identity on family A verified corpus-wide).
+_RE_DATE_CHARS_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb/]{3,10},?")
+_RE_TIME_CHARS_F = re.compile(r"(?=[^\d]*\d)[0-9oizsbh]{4,5},?")
 
 
 def _city_folds():
@@ -208,11 +266,12 @@ def _token_shape(tok: str):
     core = tok.rstrip(",.")
     low = core.lower()
     fl = _fold(core)               # fold-fallback key (see tables above)
+    ts = _tsig(fl) if len(fl) >= 5 else ""   # transpose signature (r7)
     is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
     paren_open = tok.startswith("(") and not is_paren_digit
     f = [_SF["bias"]]
     if core in _TITLES or tok.rstrip(",") in _TITLES \
-            or fl in _TITLE_FOLDS:
+            or fl in _TITLE_FOLDS or ts in _TITLE_SIGS:
         f.append(_SF["title_lex"])
     if tok.endswith(","):
         f.append(_SF["endcomma"])
@@ -220,9 +279,13 @@ def _token_shape(tok: str):
         f.append(_SF["allcaps"])
     elif core[:1].isupper() and core[1:].islower():
         f.append(_SF["titlecase"])
-    if RE_DATE_SHAPE.fullmatch(tok) or RE_DATE_SHAPE_F.fullmatch(tok):
+    if RE_DATE_SHAPE.fullmatch(tok) or RE_DATE_SHAPE_F.fullmatch(tok) \
+            or (1 <= core.count("/") <= 2
+                and _RE_DATE_CHARS_F.fullmatch(tok)):
         f.append(_SF["date_shape"])
-    if RE_TIME_SHAPE.fullmatch(tok) or RE_TIME_SHAPE_F.fullmatch(tok):
+    if RE_TIME_SHAPE.fullmatch(tok) or RE_TIME_SHAPE_F.fullmatch(tok) \
+            or (core.count("h") == 1 and "/" not in core
+                and _RE_TIME_CHARS_F.fullmatch(tok)):
         f.append(_SF["time_shape"])
     if any(c.isdigit() for c in tok):
         f.append(_SF["has_digit"])
@@ -230,9 +293,10 @@ def _token_shape(tok: str):
         f.append(_SF["is_le"])
     if tok in ("\u00e0", "a"):        # accent-stripped '\u00e0' stays the marker
         f.append(_SF["is_a"])
-    if low in _NE_FORMS or fl in _NE_FOLDS:
+    if low in _NE_FORMS or fl in _NE_FOLDS or ts in _NE_SIGS:
         f.append(_SF["is_ne"])
-    if low == "demeurant" or fl == "deneuront":
+    if low == "demeurant" or fl == "deneuront" \
+            or ts == _DEMEURANT_SIG:
         f.append(_SF["is_demeurant"])
     if tok == ":":
         f.append(_SF["is_colon"])
@@ -252,9 +316,10 @@ def _token_shape(tok: str):
         elif ln >= 6:
             f.append(_SF["d_len6p"])
             digitrun = True
-    if tok in _STREET_KW or fl in _STREET_FOLDS:
+    if tok in _STREET_KW or fl in _STREET_FOLDS \
+            or ts in _STREET_SIGS:
         f.append(_SF["street_kw"])
-    if core == "Cedex" or fl == "eedex":
+    if core == "Cedex" or fl == "eedex" or ts == _CEDEX_SIG:
         f.append(_SF["is_cedex"])
     if tok in ("-", "/", "\u2022"):
         # standalone separator glyph — '-' in family A's contact line,
@@ -263,9 +328,10 @@ def _token_shape(tok: str):
         f.append(_SF["is_dash"])
     if core == "P\u00f4le" or fl == "poie":
         f.append(_SF["is_pole_kw"])
-    if core == "SERVICE" or fl == "seruiee":
+    if core == "SERVICE" or fl == "seruiee" or ts == _SERVICE_SIG:
         f.append(_SF["is_service_kw"])
-    if core in ("France", "FRANCE") or fl == "tronee":
+    if core in ("France", "FRANCE") or fl == "tronee" \
+            or ts == _FRANCE_SIG:
         f.append(_SF["is_france"])
     if is_paren_digit:
         f.append(_SF["paren_digit"])
@@ -281,34 +347,37 @@ def _token_shape(tok: str):
         f.append(_SF["has_at"])
     if low.startswith("www."):
         f.append(_SF["has_www"])
-    org_ctx = _ORG_SELF_KW.get(core) or _ORG_SELF_FOLDS.get(fl)
+    org_ctx = (_ORG_SELF_KW.get(core) or _ORG_SELF_FOLDS.get(fl)
+               or (_ORG_SELF_SIGS.get(ts) if ts else None))
     if org_ctx:
         f.append(_SF["kw_" + org_ctx])
-    is_assoc = core in _ASSOC_KW or fl in _ASSOC_FOLDS
+    is_assoc = core in _ASSOC_KW or fl in _ASSOC_FOLDS \
+        or ts in _ASSOC_SIGS
     if is_assoc:
         f.append(_SF["kw_assoc"])
     if core == "T\u00e9l" or fl == "tei":
         f.append(_SF["kw_tel"])
     if core == "Fax" or fl == "tox":
         f.append(_SF["kw_fax"])
-    if low == "courriel" or fl == "eourriei":
+    if low == "courriel" or fl == "eourriei" or ts == _COURRIEL_SIG:
         f.append(_SF["kw_courriel"])
     if core == "Sexe" or fl == "sexe":
         f.append(_SF["kw_sexe"])
     if core in _BUILDING_KW or tok in _BUILDING_KW \
-            or fl in _BUILDING_FOLDS:
+            or fl in _BUILDING_FOLDS or ts in _BUILDING_SIGS:
         f.append(_SF["kw_building"])
     if core in _POBOX_KW:
         f.append(_SF["kw_bp"])
-    if core == "Quartier" or fl == "quortier":
+    if core == "Quartier" or fl == "quortier" or ts == _QUARTIER_SIG:
         f.append(_SF["kw_quartier"])
-    if core == "Commune" or fl == "eonnune":
+    if core == "Commune" or fl == "eonnune" or ts == _COMMUNE_SIG:
         f.append(_SF["kw_commune"])
-    if low in _DECEDE_FORMS or fl in _DECEDE_FOLDS:
+    if low in _DECEDE_FORMS or fl in _DECEDE_FOLDS \
+            or ts in _DECEDE_SIGS:
         f.append(_SF["kw_decede"])
     if core == "IPP" or fl == "ipp":
         f.append(_SF["kw_ipp"])
-    if fl in _city_folds():
+    if fl in _city_folds() or ts in _city_sigs():
         f.append(_SF["city_lex"])
     # value-after keyword classification (context switch applied AFTER the
     # token emits) — "" when the token is not a value-after keyword
@@ -316,20 +385,21 @@ def _token_shape(tok: str):
         vkw = "tel"
     elif core == "Fax" or fl == "tox":
         vkw = "fax"
-    elif low == "courriel" or fl == "eourriei":
+    elif low == "courriel" or fl == "eourriei" or ts == _COURRIEL_SIG:
         vkw = "courriel"
     elif core == "Sexe" or fl == "sexe":
         vkw = "sexe"
     elif core in _BUILDING_KW or tok in _BUILDING_KW \
-            or fl in _BUILDING_FOLDS:
+            or fl in _BUILDING_FOLDS or ts in _BUILDING_SIGS:
         vkw = "building"
     elif core in _POBOX_KW:
         vkw = "bp"
-    elif core == "Quartier" or fl == "quortier":
+    elif core == "Quartier" or fl == "quortier" or ts == _QUARTIER_SIG:
         vkw = "quartier"
-    elif core == "Commune" or fl == "eonnune":
+    elif core == "Commune" or fl == "eonnune" or ts == _COMMUNE_SIG:
         vkw = "commune"
-    elif low in _DECEDE_FORMS or fl in _DECEDE_FOLDS:
+    elif low in _DECEDE_FORMS or fl in _DECEDE_FOLDS \
+            or ts in _DECEDE_SIGS:
         vkw = "decede"
     elif core == "IPP" or fl == "ipp":
         vkw = "ipp"
@@ -339,11 +409,13 @@ def _token_shape(tok: str):
     # ride along so the context machine never re-tests raw literals
     return (tuple(f), core, low, is_paren_digit, paren_open, five_digit,
             vkw, org_ctx, is_assoc,
-            low in _NE_FORMS or fl in _NE_FOLDS,
-            low == "demeurant" or fl == "deneuront",
-            tok in _STREET_KW or fl in _STREET_FOLDS,
+            low in _NE_FORMS or fl in _NE_FOLDS or ts in _NE_SIGS,
+            low == "demeurant" or fl == "deneuront"
+            or ts == _DEMEURANT_SIG,
+            tok in _STREET_KW or fl in _STREET_FOLDS
+            or ts in _STREET_SIGS,
             core == "P\u00f4le" or fl == "poie",
-            core == "SERVICE" or fl == "seruiee",
+            core == "SERVICE" or fl == "seruiee" or ts == _SERVICE_SIG,
             digitrun)
 
 

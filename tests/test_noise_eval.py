@@ -107,3 +107,46 @@ def test_noisy_ner_discriminates_and_fitted_beats_rules():
     assert r["n_decisions"] > 500
     assert r["micro_accuracy"] < 1.0                 # discriminates
     assert r["micro_accuracy"] >= r["rules_micro_accuracy"]
+
+
+def test_r7_damage_invariant_floors():
+    """r7 closure targets: the damage-invariant evidence (body _dmg_sig
+    signatures; subentity _tsig keyword tier + multiset date/time shapes)
+    lifts the former weak labels. Floors at the cheap n=120 refit budget,
+    below the published n=300 numbers to absorb refit wobble."""
+    r = ev.eval_split("full-medical-text", n_docs=120, noise=NOISE)
+    assert r["macro_f1"] >= 0.92, r["macro_f1"]
+    assert r["per_label"]["medic"]["f1"] >= 0.8, r["per_label"]["medic"]
+    r = ev.eval_split("organization", n_docs=120, noise=NOISE)
+    assert r["micro_accuracy"] >= 0.98, r["micro_accuracy"]
+    r = ev.eval_split("dateline", n_docs=120, noise=NOISE)
+    assert r["micro_accuracy"] >= 0.96, r["micro_accuracy"]
+
+
+def test_transpose_signature_extensionally_identical_on_corpus():
+    """The r7 _tsig keyword tier and multiset date/time shapes must not
+    change a single feature vector on family A or family B text — the
+    no-retrain rule. (Noisy behavior is WHERE they differ, by design.)"""
+    from grobid_medical_report_spark.corpus import generate_doc, shift_format
+    from grobid_medical_report_spark.operators import subentity as se
+
+    tokens = set()
+    for i in range(120):
+        d = generate_doc(i)
+        for sp in d["spans"]:
+            tokens.update(sp["text"].split(" "))
+        b = shift_format(d, i)
+        for sp in b["spans"]:
+            tokens.update(sp["text"].split(" "))
+    tokens.discard("")
+    orig = se._tsig
+    try:
+        for tok in tokens:
+            with_sig = se._token_shape.__wrapped__(tok)
+            se._tsig = lambda fl: ""
+            without = se._token_shape.__wrapped__(tok)
+            se._tsig = orig
+            assert with_sig == without, tok
+    finally:
+        se._tsig = orig
+    assert len(tokens) > 4000
