@@ -138,6 +138,37 @@ _FUZZY_RX, _FUZZY_TERM_CAT = _compile_fuzzy_scanner()
 RE_DATE_FUZZY = re.compile(
     r"(?<![\w])(?=[oOlIzZsSbB]*\d)[\doOlIzZsSbB]{1,2}/[\doOlIzZsSbB]{1,2}"
     r"(?:/[\doOlIzZsSbB]{2,4})?(?![\w])")
+#: value-unit shape tolerant of in-class digit damage (r7, noisy B-unit):
+#: the value accepts digit confusables (>= 1 true digit keeps words out),
+#: the unit accepts the exact forms plus their single-substitution images
+#: under _OCR_SUBS ('ans'->'ons'/'ams', 'ml'->'m1' — the only unit tokens
+#: with substitutable chars; 'mg'/'cm'/'kg'/'SA' have none). On CLEAN text
+#: this matches exactly where RE_VALUE_UNIT matches (a clean value token
+#: is digits-only and a clean unit is exact — corpus-wide identity pinned
+#: in tests/test_noise_eval.py), so the fuzzy channel is a pure mirror
+#: there and gains standalone weight through the trainer's masked twins.
+RE_VALUE_UNIT_FUZZY = re.compile(
+    r"(?<![\w])((?=[oOlIzZsSbB]*\d)[\doOlIzZsSbB]+) "
+    r"(ans|ons|ams|SA|mg|ml|m1|cm|kg)(?![\w])")
+#: rolename shape on the OCR fold (r7, noisy B-rolename): accent strip /
+#: in-class substitution kill the exact capitalized literals ('Opérateur'
+#: -> 'Operateur'), but their folds survive; the raw first char must not
+#: be lowercase (the exact path's isupper gate, widened to the digit
+#: images of O/I so 'O'->'0' damage doesn't drop the span). On clean text
+#: this mirrors the exact rolename candidates (lowercase occurrences are
+#: gate-blocked) — 0 divergent spans corpus-wide, pinned in tests.
+_RE_ROLENAME_FUZZY = None
+
+
+def _rolename_fuzzy() -> re.Pattern:
+    global _RE_ROLENAME_FUZZY
+    if _RE_ROLENAME_FUZZY is None:
+        alts = sorted({_fold(w) for w in
+                       ("Patiente", "Patient", "Opérateur",
+                        "Anesthésiste")}, key=len, reverse=True)
+        _RE_ROLENAME_FUZZY = re.compile(
+            rf"(?<![\w])(?:{'|'.join(map(re.escape, alts))})(?![\w])")
+    return _RE_ROLENAME_FUZZY
 
 
 @lru_cache(maxsize=65536)
@@ -148,11 +179,24 @@ def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
     folded = _fold(text)
     out = [(m.start(), m.end(), _FUZZY_TERM_CAT[m.group(0)])
            for m in _FUZZY_RX.finditer(folded)]
+    dirty = False
+    for m in _rolename_fuzzy().finditer(folded):
+        c0 = text[m.start()]
+        if not c0.islower():       # exact path's isupper gate, damage-wide
+            out.append((m.start(), m.end(), "rolename"))
+            dirty = True
     if "/" in text:        # implied by the fuzzy date shape (cold-path gate)
         out += [(m.start(), m.end(), "date")
                 for m in RE_DATE_FUZZY.finditer(text)]
+        dirty = True
+    if _RE_ANY_DIGIT.search(text):   # implied by the value shape (gate)
+        for m in RE_VALUE_UNIT_FUZZY.finditer(text):
+            out.append((m.start(1), m.end(1), "value"))
+            out.append((m.start(2), m.end(2), "unit"))
+            dirty = True
+    if dirty:
         out.sort()         # lexicon hits alone arrive start-sorted from
-    return tuple(out)      # finditer — only date appends can disorder them
+    return tuple(out)      # finditer — appends can disorder them
 
 
 def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:

@@ -150,3 +150,31 @@ def test_transpose_signature_extensionally_identical_on_corpus():
     finally:
         se._tsig = orig
     assert len(tokens) > 4000
+
+
+def test_fuzzy_value_unit_is_pure_mirror_on_clean_text():
+    """RE_VALUE_UNIT_FUZZY (r7) must add NO spans beyond the exact
+    value/unit candidates on clean family-A/B text — the fuzzy channel is
+    a pure mirror there (where it earns standalone weight via the
+    trainer's masked twins) and only diverges under digit damage."""
+    from grobid_medical_report_spark.corpus import generate_doc, shift_format
+    from grobid_medical_report_spark.operators import ner
+
+    mirrors = rl_mirrors = 0
+    for i in range(120):
+        a = generate_doc(i)
+        for d in (a, shift_format(a, i)):
+            for sp in d["spans"]:
+                t = sp["text"]
+                exact = {(c[0], c[3], c[4]) for c in ner.candidates(t)}
+                for m in ner.RE_VALUE_UNIT_FUZZY.finditer(t):
+                    assert (m.start(1), m.end(1), "value") in exact, t
+                    assert (m.start(2), m.end(2), "unit") in exact, t
+                    mirrors += 1
+                folded = ner._fold(t)
+                for m in ner._rolename_fuzzy().finditer(folded):
+                    if t[m.start()].islower():
+                        continue
+                    assert (m.start(), m.end(), "rolename") in exact, t
+                    rl_mirrors += 1
+    assert mirrors > 2000 and rl_mirrors > 1000
