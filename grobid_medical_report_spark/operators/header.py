@@ -147,10 +147,35 @@ from ..functions.lexicon import CIVILITIES as _CIVILITIES  # noqa: E402
 
 _F_CIVILITY = tuple(ocr_fold(w) for w in _CIVILITIES)
 _F_CIVILITY_PREFIX = tuple(c + " " for c in _F_CIVILITY)
+#: transpose signatures (r7): an adjacent transpose inside a civility
+#: ('Mdaame') defeats the fold; the signature (first + last fold char +
+#: sorted interior — a transpose never touches either end) survives. Only
+#: civilities long enough to BE transposable (len >= 5) are listed, and
+#: the probes below try the signature only when the fold tier missed —
+#: zero family-A/B tokens reach it (pinned), so clean vectors and the
+#: committed weights are untouched.
+_CIV_SIGS = frozenset(c[0] + "".join(sorted(c[1:-1])) + c[-1]
+                      for c in _F_CIVILITY if len(c) >= 5)
+
+
+def _civ_sig_token(ft: str) -> bool:
+    for w in ft.split(" "):
+        if len(w) >= 5 and w[0] + "".join(sorted(w[1:-1])) + w[-1] \
+                in _CIV_SIGS:
+            return True
+    return False
 
 
 def _has_civility(ft: str) -> bool:
-    return any(c in ft for c in _F_CIVILITY)
+    return any(c in ft for c in _F_CIVILITY) or _civ_sig_token(ft)
+
+
+def _civility_prefix(ft: str) -> bool:
+    if ft.startswith(_F_CIVILITY_PREFIX):
+        return True
+    w0 = ft.split(" ", 1)[0]
+    return len(w0) >= 5 and \
+        w0[0] + "".join(sorted(w0[1:-1])) + w0[-1] in _CIV_SIGS
 
 
 #: folded doctype phrases (closed reference vocabulary, lexicon.DOCTYPES) —
@@ -238,7 +263,7 @@ def header_line_features(t: str, largest: bool = False,
         f.append(_HF["f_age"])
     if ft.startswith("deneuront"):
         f.append(_HF["f_paddr"])
-    if ft.startswith(_F_CIVILITY_PREFIX):
+    if _civility_prefix(ft):
         f.append(_HF["f_patient"])
     if ft.startswith(("dr ", "dr. ", "doeteur ", "pr ", "pr. ")) \
             and "," in t:

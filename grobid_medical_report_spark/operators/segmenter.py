@@ -159,6 +159,13 @@ _PAGEY_MAX_LEN = 16
 _RE_PC5_F = re.compile(rf"(?<![0-9oizsb])(?:t-)?[0-9oizsb]{{5}}(?![0-9oizsb])")
 _RE_CHU_F = re.compile(r"\b(?:ehu|ghu)\b")
 _RE_DIGIT = re.compile(r"\d")
+#: transpose signatures of the marker keywords (first + last fold char +
+#: sorted interior — see _fuzzy_facts); the ft[:1] gate in the caller
+#: skips the split/sort on every line not starting with their initials
+_ANNEX_SIG = (lambda w: w[0] + "".join(sorted(w[1:-1])) + w[-1])(
+    ocr_fold("ANNEXE"))
+_ACK_SIG = (lambda w: w[0] + "".join(sorted(w[1:-1])) + w[-1])(
+    ocr_fold("Remerciements"))
 
 
 @lru_cache(maxsize=131072)
@@ -176,8 +183,33 @@ def _fuzzy_facts(t: str) -> tuple[str | None, bool, bool, bool, bool]:
     (format-shift tier)."""
     ft = ocr_fold(t)
     m = RE_MAIN_FUZZY.match(ft)
+    kind = m.lastgroup if m else None
+    if kind is None and ft[:1] in ("o", "r"):
+        # transpose-signature tier (r7): an adjacent transpose inside the
+        # ANNEXE / Remerciements marker ('ANNXEE') reorders chars the fold
+        # cannot repair; the signature (first + last fold char + sorted
+        # interior — a transpose never touches either end) still matches.
+        # Zero family-A/B lines reach this (pinned), so clean decode and
+        # the committed weights are untouched; under noise the marker
+        # keeps classifying and the annex gate stays reachable.
+        w0 = ft.split(" ", 1)[0]
+        if len(w0) >= 5:
+            s0 = w0[0] + "".join(sorted(w0[1:-1])) + w0[-1]
+            if s0 == _ANNEX_SIG:
+                kind = "annex"
+            elif s0 == _ACK_SIG:
+                kind = "ack"
+        if kind is None:
+            # spacing damage splits the marker token ('ANN EXE 2') — the
+            # DESPACED fold prefix still spells it (one damage mode per
+            # token, so spacing and transpose never co-occur in one word)
+            ftd = ft[:16].replace(" ", "")
+            if ftd.startswith("onnexe"):
+                kind = "annex"
+            elif ftd.startswith("renereienents"):
+                kind = "ack"
     has_digit = _RE_DIGIT.search(t) is not None
-    return (m.lastgroup if m else None,
+    return (kind,
             _RE_CHU_F.search(ft) is not None,
             "seruiee" in ft,
             has_digit and len(ft) <= _PAGEY_MAX_LEN
