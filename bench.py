@@ -384,8 +384,10 @@ def main() -> None:
             "| r6 run2 (final tree) | 20.02 | 2497 | 76.58 | 0.956 |\n"
             "| r7 run1 (mirror-slice cache + scan gates) | 17.65 | "
             "2832 | 76.01 | 1.076 |\n"
-            "| r7 run2 (final tree; cold kernel 216/core) | 16.53 | "
-            "3024 | 74.31 | 1.124 |\n\n"
+            "| r7 run2 (mirror-cache tree; cold kernel 216/core) | 16.53 | "
+            "3024 | 74.31 | 1.124 |\n"
+            "| r7 run3 (final tree: noisy sig tiers + NER channels) | "
+            "18.55 | 2695 | 72.29 | 0.974 |\n\n"
             "r3 run3 beats r1's 4151 docs/s record despite this window's "
             "low-core gauge running ~1.4x slower than r1's. The r4 corpus "
             "is measurably HARDER (the grammar emits the reference's full "

@@ -227,8 +227,10 @@ RE_TIME_SHAPE_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb]{1,2}h[0-9oizsb]{2},?")
 #: fold-digits and the separator, separator count 1-2 (date) / exactly 1
 #: (time), at least one true digit. Positional tiers stay first; these
 #: only widen (extensional identity on family A verified corpus-wide).
-_RE_DATE_CHARS_F = re.compile(r"(?=[^\d]*\d)[0-9oizsb/]{3,10},?")
-_RE_TIME_CHARS_F = re.compile(r"(?=[^\d]*\d)[0-9oizsbh]{4,5},?")
+_RE_DATE_CHARS_F = re.compile(
+    r"(?=[^\d]*\d)[0-9oOlIzZsSbB/]{3,10},?")
+_RE_TIME_CHARS_F = re.compile(
+    r"(?=[^\d]*\d)[0-9oOlIzZsSbBh]{4,5},?")
 
 
 def _city_folds():
@@ -276,6 +278,18 @@ def _token_shape(tok: str):
     if tok.endswith(","):
         f.append(_SF["endcomma"])
     if core.isupper() and core.isalpha():
+        f.append(_SF["allcaps"])
+    elif (len(core) >= 4 and core[:1].isalpha() and core.isalnum()
+          and not any(c.islower() for c in core)
+          and any(c.isalpha() for c in core)
+          and all(c in "01258" for c in core if c.isdigit())):
+        # damage twin of allcaps (r7): an in-class substitution turns a
+        # letter of an ALLCAPS placename into its digit image
+        # ('BICETRE' -> 'B1CETRE') and .isalpha() drops the evidence; a
+        # caps-only token whose every digit has a letter twin keeps it.
+        # Never fires on family A/B (clean caps tokens are pure alpha;
+        # clean digit-bearing tokens are pure digits or carry lowercase
+        # or non-twin digits) — identity pinned corpus-wide.
         f.append(_SF["allcaps"])
     elif core[:1].isupper() and core[1:].islower():
         f.append(_SF["titlecase"])
