@@ -135,6 +135,23 @@ _RE_DIGIT = re.compile(r"\d")
 #: ALL-CAPS run of >= 2 letters on the RAW line (placenames: 'DIJON');
 #: case survives OCR substitution classes, so raw is the right side
 _RE_CAPS_RUN = re.compile(r"\b[A-ZÀ-ÖØ-Þ]{2,}\b")
+#: caps-damage twin (r7): one OCR substitution inside an ALLCAPS word can
+#: only produce the digits 0/1 (the images of O/I in the confusion table),
+#: and it breaks the pure-caps run ('V1LLEJUIF'). A \b-token of caps and
+#: 0/1 digits with >= 2 letters and >= 1 digit keeps the caps evidence;
+#: no clean family-A/B header line carries such a token (pinned).
+_RE_CAPS_DMG = re.compile(r"\b[A-ZÀ-ÖØ-Þ01]{4,}\b")
+
+
+def _caps_run(t: str) -> bool:
+    if _RE_CAPS_RUN.search(t):
+        return True
+    for m in _RE_CAPS_DMG.finditer(t):
+        w = m.group()
+        if any(c in "01" for c in w) \
+                and sum(c.isalpha() for c in w) >= 2:
+            return True
+    return False
 #: street keywords on the OCR fold (computed, not hand-folded)
 _F_STREET_TOK = tuple(ocr_fold(w) for w in
                       ("avenue", "rue", "boulevard", "place", "chemin",
@@ -156,6 +173,13 @@ _F_CIVILITY_PREFIX = tuple(c + " " for c in _F_CIVILITY)
 #: committed weights are untouched.
 _CIV_SIGS = frozenset(c[0] + "".join(sorted(c[1:-1])) + c[-1]
                       for c in _F_CIVILITY if len(c) >= 5)
+#: spacing-damage tier (r7): corrupt_text's spacing mode inserts ONE
+#: mid-token space and applies no other damage to that token, so the two
+#: folded pieces joined equal the clean fold EXACTLY ('Mon sieur' ->
+#: 'monsieur'). Equality against the civility-fold set is therefore the
+#: tight check — tried only when the contiguous tiers missed; zero clean
+#: family-A/B lines reach it (pinned in test_noise_eval).
+_F_CIVILITY_SET = frozenset(_F_CIVILITY)
 
 
 def _civ_sig_token(ft: str) -> bool:
@@ -166,16 +190,26 @@ def _civ_sig_token(ft: str) -> bool:
     return False
 
 
+def _civ_split_token(ft: str) -> bool:
+    ws = ft.split(" ")
+    return any(a and b and a + b in _F_CIVILITY_SET
+               for a, b in zip(ws, ws[1:]))
+
+
 def _has_civility(ft: str) -> bool:
-    return any(c in ft for c in _F_CIVILITY) or _civ_sig_token(ft)
+    return any(c in ft for c in _F_CIVILITY) or _civ_sig_token(ft) \
+        or _civ_split_token(ft)
 
 
 def _civility_prefix(ft: str) -> bool:
     if ft.startswith(_F_CIVILITY_PREFIX):
         return True
     w0 = ft.split(" ", 1)[0]
-    return len(w0) >= 5 and \
-        w0[0] + "".join(sorted(w0[1:-1])) + w0[-1] in _CIV_SIGS
+    if len(w0) >= 5 and \
+            w0[0] + "".join(sorted(w0[1:-1])) + w0[-1] in _CIV_SIGS:
+        return True
+    ws = ft.split(" ", 2)
+    return len(ws) >= 2 and ws[0] + ws[1] in _F_CIVILITY_SET
 
 
 #: folded doctype phrases (closed reference vocabulary, lexicon.DOCTYPES) —
@@ -285,7 +319,7 @@ def header_line_features(t: str, largest: bool = False,
     if has_digit and _RE_DIGITS_RUN_F.search(ft):
         f.append(_HF["c_digits_run"])
     if has_digit and _RE_DATE_TOK_F.search(ft):
-        if _RE_CAPS_RUN.search(t):
+        if _caps_run(t):
             f.append(_HF["c_date_place"])
         else:
             f.append(_HF["c_date_noplace"])
