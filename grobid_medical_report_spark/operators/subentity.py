@@ -131,6 +131,11 @@ _TITLES = {"Dr", "Dr.", "Docteur", "Pr", "Pr.", "Professeur", "Madame",
 RE_DATE_SHAPE = re.compile(r"\d{1,2}/\d{1,2}(/\d{2,4})?,?")
 RE_TIME_SHAPE = re.compile(r"\d{1,2}h\d{2},?")
 RE_PAREN_DIGIT = re.compile(r"\(\d{1,3}\),?")
+#: damage twin (late r7): one substitution inside '(59)' yields an
+#: UPPERCASE letter image ('(S9)') — without it the token flips to
+#: paren_open and corrupts the context machine. >= 1 true digit required,
+#: so no clean parenthesized word ever matches (pinned corpus-wide).
+RE_PAREN_DIGIT_F = re.compile(r"\((?=[^)\d]*\d)[0-9oOlIzZsSbB]{1,3}\),?")
 
 _STREET_KW = {"Avenue", "Rue", "Boulevard", "Allée", "Place", "Impasse",
               "avenue", "rue", "boulevard", "allée", "place", "impasse"}
@@ -166,8 +171,11 @@ _ORG_SELF_FOLDS = {_fold(k): v for k, v in _ORG_SELF_KW.items()}
 _TITLE_FOLDS = {_fold(x) for x in _TITLES}
 #: fuzzy postcode; the optional 'F-' head is the international French
 #: postal prefix ('F-75001') — a real-world convention, and its fold is
-#: 't-' (both accepted so the probe survives OCR damage too)
-_FD5 = re.compile(r"(?:[Ff]-|t-)?(?=[^\d]*\d)[0-9oizsb]{5}")
+#: 't-' (both accepted so the probe survives OCR damage too). The char
+#: class carries the UPPERCASE confusables too (late r7): the digit-side
+#: substitutions produce uppercase letters (5->S, 8->B, 2->Z), so
+#: '5S000' must still read as a postcode; >= 1 true digit required.
+_FD5 = re.compile(r"(?:[Ff]-|t-)?(?=[^\d]*\d)[0-9oOlIzZsSbB]{5}")
 
 
 # --------------------------------------------------------------------------
@@ -269,7 +277,8 @@ def _token_shape(tok: str):
     low = core.lower()
     fl = _fold(core)               # fold-fallback key (see tables above)
     ts = _tsig(fl) if len(fl) >= 5 else ""   # transpose signature (r7)
-    is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok))
+    is_paren_digit = bool(RE_PAREN_DIGIT.fullmatch(tok)
+                          or RE_PAREN_DIGIT_F.fullmatch(tok))
     paren_open = tok.startswith("(") and not is_paren_digit
     f = [_SF["bias"]]
     if core in _TITLES or tok.rstrip(",") in _TITLES \
@@ -279,17 +288,18 @@ def _token_shape(tok: str):
         f.append(_SF["endcomma"])
     if core.isupper() and core.isalpha():
         f.append(_SF["allcaps"])
-    elif (len(core) >= 4 and core[:1].isalpha() and core.isalnum()
+    elif (len(core) >= 3 and core.isalnum()
           and not any(c.islower() for c in core)
-          and any(c.isalpha() for c in core)
+          and sum(c.isalpha() for c in core) >= 2
           and all(c in "01258" for c in core if c.isdigit())):
         # damage twin of allcaps (r7): an in-class substitution turns a
         # letter of an ALLCAPS placename into its digit image
-        # ('BICETRE' -> 'B1CETRE') and .isalpha() drops the evidence; a
-        # caps-only token whose every digit has a letter twin keeps it.
-        # Never fires on family A/B (clean caps tokens are pure alpha;
-        # clean digit-bearing tokens are pure digits or carry lowercase
-        # or non-twin digits) — identity pinned corpus-wide.
+        # ('BICETRE' -> 'B1CETRE', 'IPP' -> '1PP') and .isalpha() drops
+        # the evidence; a caps-only token whose every digit has a letter
+        # twin and that keeps >= 2 caps letters retains it. Never fires
+        # on family A/B (clean caps tokens are pure alpha; clean
+        # digit-bearing tokens are pure digits or carry lowercase or
+        # non-twin digits) — identity pinned corpus-wide.
         f.append(_SF["allcaps"])
     elif core[:1].isupper() and core[1:].islower():
         f.append(_SF["titlecase"])

@@ -161,6 +161,49 @@ def test_header_damage_tiers_extensionally_identical_on_corpus():
     assert H._caps_run("V1LLEJUIF, le 24/05/2018")
 
 
+def test_subentity_damage_twins_extensionally_identical_on_corpus():
+    """The late-r7 subentity damage twins — the widened allcaps twin
+    (leading-digit keywords, len >= 3), the uppercase-confusable fuzzy
+    postcode (_FD5), and the parenthesized-digit twin
+    (RE_PAREN_DIGIT_F) — must not change a single token-shape trait on
+    clean family-A or family-B tokens (no-retrain rule)."""
+    import re as _re
+    from grobid_medical_report_spark.corpus import generate_doc, shift_format
+    from grobid_medical_report_spark.operators import subentity as se
+
+    OLD_FD5 = _re.compile(r"(?:[Ff]-|t-)?(?=[^\d]*\d)[0-9oizsb]{5}")
+    tokens = set()
+    for i in range(150):
+        a = generate_doc(i)
+        for d in (a, shift_format(a, i)):
+            for sp in d["spans"]:
+                tokens.update(sp["text"].split(" "))
+    tokens.discard("")
+    assert len(tokens) > 4000
+    for tok in tokens:
+        core = tok.rstrip(",.")
+        if not (core.isupper() and core.isalpha()):
+            old_twin = (len(core) >= 4 and core[:1].isalpha()
+                        and core.isalnum()
+                        and not any(c.islower() for c in core)
+                        and any(c.isalpha() for c in core)
+                        and all(c in "01258" for c in core if c.isdigit()))
+            new_twin = (len(core) >= 3 and core.isalnum()
+                        and not any(c.islower() for c in core)
+                        and sum(c.isalpha() for c in core) >= 2
+                        and all(c in "01258" for c in core if c.isdigit()))
+            assert old_twin == new_twin, tok
+        assert bool(OLD_FD5.fullmatch(core)) == \
+            bool(se._FD5.fullmatch(core)), tok
+        assert not (se.RE_PAREN_DIGIT_F.fullmatch(tok)
+                    and not se.RE_PAREN_DIGIT.fullmatch(tok)), tok
+    # and the twins DO fire on damaged forms
+    assert se._FD5.fullmatch("5S000") and se._FD5.fullmatch("S3000")
+    assert se.RE_PAREN_DIGIT_F.fullmatch("(S9)")
+    shape = se._token_shape.__wrapped__("1PP")
+    assert se._SF["allcaps"] in shape[0]
+
+
 def test_r7_damage_invariant_floors():
     """r7 closure targets: the damage-invariant evidence (body _dmg_sig
     signatures; subentity _tsig keyword tier + multiset date/time shapes)
