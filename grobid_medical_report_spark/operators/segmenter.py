@@ -249,6 +249,31 @@ def _is_numbered_section(t: str) -> bool:
     return bool(RE_SECTION_NUM.fullmatch(t))
 
 
+#: damage-signature tier for the FIRST-SECTION SCAN (late r7, noisy tier):
+#: a single OCR substitution in a section heading ('DESCRIPTION
+#: DETA1LLEE :') drops it out of RE_SECTION, the front gate never closes,
+#: and EVERY page-1 line decodes as front matter — two corrupted docs
+#: account for 72 of the segmenter's 74 noisy misses. The section
+#: headings are a closed lexicon, so probe them through body._dmg_sig
+#: (fold, spaces dropped, chars sorted — invariant under every
+#: corrupt_text mode; the trailing ':' survives too: it is outside every
+#: confusion class and the transpose never moves a token's last char).
+#: On CLEAN lines the signature tier fires exactly where RE_SECTION
+#: already fires (pinned corpus-wide in test_noise_eval), so clean decode
+#: and the committed weights are untouched.
+from ..functions.lexicon import SECTIONS as _SEC_LEX  # noqa: E402
+from .body import _dmg_sig as _body_dmg_sig  # noqa: E402
+
+_SIG_SECTION_HEADS = frozenset(_body_dmg_sig(s.upper()) for s in _SEC_LEX)
+
+
+@lru_cache(maxsize=131072)
+def _is_section_sig(t: str) -> bool:
+    if not t.endswith(":") or len(t) < 4:
+        return False
+    return _body_dmg_sig(t[:-1].rstrip(" ")) in _SIG_SECTION_HEADS
+
+
 @lru_cache(maxsize=131072)
 def _front_flags(t: str) -> tuple[bool, bool]:
     """Memoized (RE_LEFT, RE_HDR) pair — kept as independent flags because
@@ -297,6 +322,37 @@ _RE_PREFIXED_MEDIC = re.compile(r"^[^:]+ ?: ?(?:Dr|Docteur|Pr)\.? .+, .+$")
 #: labeled-value shape header fields take in a second grammar family
 _RE_LABEL_PREFIX = re.compile(r"^[A-Za-zÀ-ÿ'’()/ ]{2,24} ?: ")
 
+#: late-r7 damage tier for the fallback's left evidence: the letterhead
+#: org/address templates are keyword-LED ('Hôpital …', 'Commune de …',
+#: 'SERVICE DE …'), and transpose ('SEVRICE') or spacing ('Hôpi tal')
+#: damage on the leading keyword drops the line out of every exact
+#: template AND every fold-contains probe. Probe the first token through
+#: the standard tier chain — fold, transpose signature (first + last fold
+#: char + sorted interior), split-join (spacing inserts one space and
+#: nothing else, so the two folded pieces joined equal the clean fold).
+#: Clean family-A lines never reach the fallback (template-pinned), and
+#: the identity test pins zero clean A/B feature-vector changes.
+_LEFT_KW_WORDS = ("CHU", "GHU", "DMU", "Hôpital", "Université", "Institut",
+                  "Centre", "Site", "Unité", "Département", "Association",
+                  "Bâtiment", "Immeuble", "Quartier", "Commune", "Service",
+                  "Pôle", "BP")
+_F_LEFT_KW = frozenset(ocr_fold(w) for w in _LEFT_KW_WORDS)
+
+
+def _tsig_seg(fl: str) -> str:
+    return fl[0] + "".join(sorted(fl[1:-1])) + fl[-1] if len(fl) >= 3 else fl
+
+
+_LEFT_KW_SIGS = frozenset(_tsig_seg(f) for f in _F_LEFT_KW if len(f) >= 5)
+
+
+def _left_kw_dmg(ft: str) -> bool:
+    ws = ft.split(" ", 2)
+    w0 = ws[0]
+    if w0 in _F_LEFT_KW or (len(w0) >= 5 and _tsig_seg(w0) in _LEFT_KW_SIGS):
+        return True
+    return len(ws) >= 2 and ws[0] + ws[1] in _F_LEFT_KW
+
 
 @lru_cache(maxsize=131072)
 def _front_flags_resolved(t: str) -> tuple[bool, bool]:
@@ -308,13 +364,23 @@ def _front_flags_resolved(t: str) -> tuple[bool, bool]:
         return False, True
     ft = ocr_fold(t)
     if hdr and not left and (_RE_CHU_F.search(ft) or _F_SERV in ft
-                             or ft.startswith(_F_POLE)):
+                             or ft.startswith(_F_POLE)
+                             or _left_kw_dmg(ft)):
         # 'PÔLE IMAGERIE' matches the generic all-caps doctype shape but
         # carries an org keyword family A only ever puts in the left note
+        # (the _left_kw_dmg tier catches the damaged forms — 'SEVRICE DE
+        # ONCOLOGIE' is still all-caps, so it still lands here)
         return True, False
     if left or hdr:
         return left, hdr
     # neither template fired: label-intrinsic content fallback
+    if t.startswith("N°"):
+        # raw-certainty header evidence (late r7): 'N°' is outside every
+        # OCR confusion class and too short for transpose or spacing
+        # damage, so a damaged docnum ('N° 9066 48222' — spacing split
+        # inside the digit run) keeps its definitive prefix; clean docnum
+        # lines all match RE_DOCNUM and never reach the fallback
+        return False, True
     if any(c in ft for c in _F_CIV) or ft.startswith("sexe"):
         return False, True               # a letterhead never names a patient
     if any(d in ft for d in _F_DTS):
@@ -336,13 +402,24 @@ def _front_flags_resolved(t: str) -> tuple[bool, bool]:
             # Avenue ...' / B comma-dropped '79 Avenue ...'), so a field
             # label in front of street content is header-only evidence
             return False, True
+        if _RE_DATE_F.search(rest_f) or _RE_ANS_F.search(rest_f):
+            # a labeled DATE/age value ('Date de naissance : 18/06/1994')
+            # is likewise header-definitive — no letterhead line in either
+            # family labels a date — and must be resolved HERE because the
+            # folded date digits light _RE_PC5_F in the generic evidence
+            # weighing below, turning definitive header content into a
+            # left/hdr tie (the r7 pc5-confusable lesson, late-r7 fix: the
+            # tie left this B-native vector on a knife-edge margin that a
+            # refit with the damage-tier aug flipped to footnote)
+            return False, True
     hdr_ev = (_RE_DATE_F.search(ft) or _RE_ANS_F.search(ft)
               or _RE_DRTOK_F.search(ft) or _RE_IDRUN_F.search(ft)
               or any(d in ft for d in _F_DTS))
     left_ev = (_RE_CHU_F.search(ft) or _F_SERV in ft
                or ft.startswith(_F_POLE) or _RE_PC5_F.search(ft)
                or _RE_PHONE_F.search(ft) or "@" in t or "www." in ft
-               or (any(s in ft for s in _F_STREET) and t[:1].isdigit()))
+               or (any(s in ft for s in _F_STREET) and t[:1].isdigit())
+               or _left_kw_dmg(ft))
     if left_ev and not hdr_ev:
         return True, False
     if hdr_ev and not left_ev:
@@ -450,6 +527,7 @@ def _emissions_rules(texts: list[str], is_media: np.ndarray,
     first_section = n
     for i, t in enumerate(texts):
         if (RE_SECTION.fullmatch(t) and not RE_ANNEX_START.match(t)) \
+                or _is_section_sig(t) \
                 or (heading is not None and heading[i]):
             first_section = i
             break
@@ -565,6 +643,7 @@ def line_features(texts: list[str], is_media: np.ndarray,
     first_section = n
     for i, t in enumerate(texts):
         if _is_section_line(t) or _is_numbered_section(t) \
+                or _is_section_sig(t) \
                 or (heading_l is not None and heading_l[i]):
             first_section = i
             break

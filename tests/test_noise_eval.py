@@ -204,6 +204,53 @@ def test_subentity_damage_twins_extensionally_identical_on_corpus():
     assert se._SF["allcaps"] in shape[0]
 
 
+def test_segmenter_damage_tiers_family_a_identical_corpus_wide():
+    """The late-r7 segmenter damage tiers — the first-section _dmg_sig
+    scan, the front-fallback org-keyword tier (_left_kw_dmg), the raw
+    'N°' probe, and the labeled-DATE header resolution — must leave every
+    FAMILY-A line's resolution unchanged (both corpus modes): the
+    no-retrain / byte-stable-goldens rule. Family B labeled-date lines DO
+    move (no-evidence -> header): that is the r7 knife-edge fix, asserted
+    below."""
+    from grobid_medical_report_spark.corpus import generate_doc
+    from grobid_medical_report_spark.operators import segmenter as seg
+
+    raw = seg._front_flags_resolved.__wrapped__
+    orig = seg._left_kw_dmg
+    lines = set()
+    for i in range(150):
+        for lay in (False, True):
+            for sp in generate_doc(i, layout=lay)["spans"]:
+                lines.add(sp["text"])
+    assert len(lines) > 8000
+    try:
+        for t in lines:
+            # section-sig tier == exact RE_SECTION on clean family A
+            assert seg._is_section_sig(t) == (
+                bool(seg.RE_SECTION.fullmatch(t))
+                and not seg.RE_ANNEX_START.match(t)), t
+            new = raw(t)
+            seg._left_kw_dmg = lambda ft: False
+            without_kw = raw(t)
+            seg._left_kw_dmg = orig
+            assert new == without_kw, t
+            # the N°/date branches live past the template returns; clean A
+            # lines starting 'N°' or carrying a labeled date all match
+            # their templates and never reach the fallback
+            if t.startswith("N°"):
+                assert seg.RE_DOCNUM.fullmatch(t) or seg.RE_LEFT.match(t) \
+                    or seg.RE_HDR.match(t), t
+    finally:
+        seg._left_kw_dmg = orig
+    # damaged forms DO resolve
+    assert seg._is_section_sig("DESCRIPTION DETA1LLEE :")
+    assert raw("SEVRICE DE ONCOLOGIE") == (True, False)
+    assert raw("Hôpi tal Herni Mondor") == (True, False)
+    assert raw("N° 9066 48222") == (False, True)
+    # and the family-B labeled-date knife-edge is resolved as header
+    assert raw("Date de naissance : 18/06/1994") == (False, True)
+
+
 def test_r7_damage_invariant_floors():
     """r7 closure targets: the damage-invariant evidence (body _dmg_sig
     signatures; subentity _tsig keyword tier + multiset date/time shapes)
