@@ -189,6 +189,13 @@ def _fz_flags(text: str) -> tuple[bool, bool, bool, bool, bool]:
             t0 = toks[0].rstrip(".")
             if _dmg_sig(t0) in _SIG_MEDIC_TITLES:
                 med = True                      # 'Docteur X ...' titled
+            elif len(toks) >= 3 and \
+                    _dmg_sig(t0 + toks[1].rstrip(".")) in _SIG_MEDIC_TITLES:
+                # spacing-split title ('Doc teur Abba ROUX'): the spacing
+                # mode applies no other damage to the split token, so the
+                # joined pieces signature-match the clean title; no clean
+                # family-A/B line joins to a title (pinned)
+                med = True
             elif (len(toks) <= 3 and toks[0][:1].isupper()
                   and not toks[0].isupper()
                   and len(toks[-1]) >= 2

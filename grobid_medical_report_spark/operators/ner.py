@@ -171,15 +171,80 @@ def _rolename_fuzzy() -> re.Pattern:
     return _RE_ROLENAME_FUZZY
 
 
+#: fold images of the exact path's context quirks (late r7): the fuzzy
+#: lexicon channel must apply the SAME suppressions as the exact scan or
+#: the mirror breaks ON CLEAN TEXT — 'Échographie du 06/06' had fuzzy
+#: fb_procedure marks on O-gold tokens (the exact quirk skipped it, the
+#: fuzzy scan did not), dragging the fuzzy-procedure weight toward O in
+#: training, which is exactly why fuzzy-only damaged candidates
+#: ('Anesthésic le …') decoded O in the noisy tier.
+_F_ECHO = _fold("échographie")
+_F_DU = _fold(" du ")
+_F_SKIP_PERIOD = frozenset(_fold(t) for t in _SKIP_BEFORE_PERIOD)
+
+#: persname fuzzy mirror (late r7): the title token is matched on the
+#: FOLD ('Monsicur'/'Momsieur' → 'nonsieur'), the name tail on the RAW
+#: text — capitalization survives substitution damage except O→0/I→1
+#: (the only uppercase images), so the tail class carries those two
+#: digits. On clean text the mirror matches exactly where RE_PERSNAME
+#: matches (pinned in tests/test_noise_eval.py), giving the channel
+#: standalone weight through the trainer's exact-mask twins.
+#: dose extension tolerant of in-class digit damage (late r7): the exact
+#: RE_DOSE_EXT needs true digits, so 'Paracétamol l000 mg' stopped
+#: extending and the dose tokens fell to the value/unit channel. The
+#: value accepts digit confusables (>= 1 true digit), the unit accepts
+#: 'mg' and its only substitution image 'ng' (m->n; 'g' has no twin). On
+#: clean text this extends exactly where RE_DOSE_EXT extends (pinned).
+RE_DOSE_EXT_FUZZY = re.compile(
+    r" (?=[oOlIzZsSbB]*\d)[\doOlIzZsSbB]+ ?(?:mg|ng)"
+    r"(?: ?\*[\doOlIzZsSbB]+)?")
+
+_RE_PERSNAME_TITLE_F = None
+_RE_PERSNAME_TAIL = re.compile(rf"(?: [{_UP}01][\w{_LO}]*)+")
+
+
+def _persname_title_fuzzy() -> re.Pattern:
+    global _RE_PERSNAME_TITLE_F
+    if _RE_PERSNAME_TITLE_F is None:
+        alts = sorted({_fold(w) for w in
+                       ("Madame", "Monsieur", "Docteur", "Dr", "Pr")},
+                      key=len, reverse=True)
+        _RE_PERSNAME_TITLE_F = re.compile(
+            rf"(?<![\w])(?:{'|'.join(map(re.escape, alts))})(?![\w])")
+    return _RE_PERSNAME_TITLE_F
+
+
 @lru_cache(maxsize=65536)
 def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
     """(start, end, category) fuzzy hits: folded-lexicon matches over the
     folded text plus damage-tolerant date shapes. Memoized per worker like
     the exact path (same boilerplate-repetition argument)."""
     folded = _fold(text)
-    out = [(m.start(), m.end(), _FUZZY_TERM_CAT[m.group(0)])
-           for m in _FUZZY_RX.finditer(folded)]
+    out = []
+    for m in _FUZZY_RX.finditer(folded):
+        g, e = m.group(0), m.end()
+        # mirror the exact path's context quirks through the fold (the
+        # raw '.' is outside every confusion class, the ' du ' context is
+        # fold-compared so ' dv ' damage suppresses identically)
+        if g in _F_SKIP_PERIOD and text[e:e + 1] == ".":
+            continue
+        if g == _F_ECHO and folded[e:e + 4] == _F_DU:
+            continue
+        cat = _FUZZY_TERM_CAT[g]
+        if cat == "medicament":
+            ext = RE_DOSE_EXT_FUZZY.match(text, e)
+            if ext:
+                e = ext.end()      # the exact path's dose fold-in, fuzzy
+        out.append((m.start(), e, cat))
     dirty = False
+    for m in _persname_title_fuzzy().finditer(folded):
+        tail = _RE_PERSNAME_TAIL.match(text, m.end())
+        if tail:
+            s, e = m.start(), tail.end()
+            if e == len(text) - 1 and text.endswith("."):
+                e += 1     # the exact path's end-of-text period fold-in
+            out.append((s, e, "persname"))
+            dirty = True
     for m in _rolename_fuzzy().finditer(folded):
         c0 = text[m.start()]
         if not c0.islower():       # exact path's isupper gate, damage-wide
@@ -221,7 +286,11 @@ def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
         # <date>" untagged while other occurrences are
         if term in _SKIP_BEFORE_PERIOD and text[e:e + 1] == ".":
             continue
-        if term == "échographie" and text[e:e + 4] == " du ":
+        if term == "échographie" and _fold(text[e:e + 4]) == _F_DU:
+            # the ' du ' context read through the fold (late r7): ' dv '
+            # damage must suppress the report-mention exactly as ' du '
+            # does — on clean text only ' du ' itself folds to the image
+            # (corpus-wide identity pinned in tests/test_noise_eval.py)
             continue
         if cat == "medicament":
             ext = RE_DOSE_EXT.match(text, e)

@@ -204,6 +204,56 @@ def test_subentity_damage_twins_extensionally_identical_on_corpus():
     assert se._SF["allcaps"] in shape[0]
 
 
+def test_ner_fuzzy_channels_pure_mirror_on_clean_text():
+    """The late-r7 NER channels must be PURE MIRRORS of the exact path on
+    clean family-A/B text: persname spans (fold title + raw-cap tail) and
+    medicament spans (fuzzy dose extension) equal the exact candidates
+    span-for-span, and the fuzzy lexicon scan applies the exact path's
+    context quirks (no fb_procedure on 'Échographie du <date>')."""
+    from grobid_medical_report_spark.corpus import generate_doc, shift_format
+    from grobid_medical_report_spark.operators import ner
+
+    texts = set()
+    for i in range(120):
+        a = generate_doc(i)
+        for d in (a, shift_format(a, i)):
+            for sp in d["spans"]:
+                texts.add(sp["text"])
+    n_pers = n_med = 0
+    for t in texts:
+        cands = ner.candidates(t)
+        fz = ner.fuzzy_candidates(t)
+        for cat in ("persname", "medicament", "procedure"):
+            ex = sorted((c[0], c[3]) for c in cands if c[4] == cat)
+            fu = sorted((s, e) for s, e, c in fz if c == cat)
+            if cat == "persname":
+                assert ex == fu, (t, ex, fu)
+                n_pers += len(ex)
+            elif cat == "medicament":
+                assert ex == fu, (t, ex, fu)
+                n_med += len(ex)
+            else:
+                # procedure: mirror in BOTH directions — the quirk
+                # suppression must hold on the fuzzy side too
+                assert set(ex) == set(fu), (t, ex, fu)
+    assert n_pers > 500 and n_med > 100
+    # and the channels DO fire on damaged forms
+    assert any(c == "persname" for _s, _e, c in
+               ner.fuzzy_candidates("Monsicur Belle Caroline GAUTIER"))
+    assert any(c == "procedure" for _s, _e, c in
+               ner.fuzzy_candidates("Anesthésic le 14/12/2007"))
+    # the du-quirk suppresses through damage on both channels
+    assert not any(c == "procedure" for _s, _e, c in
+                   ner.fuzzy_candidates("Échographie dv 06/06 (Dr Coco)"))
+    assert not any(c[4] == "procedure" for c in
+                   ner.candidates("Échographie dv 06/06 (Dr Coco)"))
+    # fuzzy dose extension covers the damaged dose
+    med = [(s, e) for s, e, c in
+           ner.fuzzy_candidates("traitée par Paracétamol l000 mg.")
+           if c == "medicament"]
+    assert med and med[0][1] - med[0][0] > len("Paracétamol")
+
+
 def test_segmenter_damage_tiers_family_a_identical_corpus_wide():
     """The late-r7 segmenter damage tiers — the first-section _dmg_sig
     scan, the front-fallback org-keyword tier (_left_kw_dmg), the raw

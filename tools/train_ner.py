@@ -127,10 +127,13 @@ def _fuzzy_twins(examples):
     channel survives (fold-matched lexicon terms, RE_DATE_FUZZY shapes),
     the decode collapsed to the default state (observed: corrupted slash
     dates cascading to B-perstype, noisy-tier B-perstype precision 0.31).
-    Twins whose category has no fuzzy mirror (persname, value, unit — the
-    exact channel is the only evidence) are not emitted: masking those
-    would be inherently ambiguous, which is why the phase is best-effort
-    like train_body's (zero CLEAN errors required, twin errors minimized)."""
+    Twins whose category has no fuzzy mirror in the example are not
+    emitted: masking those would be inherently ambiguous, which is why
+    the phase is best-effort like train_body's (zero CLEAN errors
+    required, twin errors minimized). As of late r7 every category has a
+    mirror — the persname channel (fold-matched title + raw-cap tail)
+    and the fuzzy dose extension joined value/unit/rolename/date and the
+    lexicon folds — so the masked set now spans the full inventory."""
     twins = []
     for X, gold in examples:
         cols = []
@@ -142,6 +145,31 @@ def _fuzzy_twins(examples):
         if cols:
             X2 = X.copy()
             X2[:, cols] = 0.0
+            twins.append((X2, gold))
+    return twins
+
+
+def _digit_damage_twins(examples):
+    """Digit-image twins (late r7): an l->1 / o->0 substitution can put a
+    digit inside ANY word ('locale' -> '1ocale', 'otite' -> '0tite')
+    without changing its meaning, but the resulting vector (the clean
+    token's features plus the digit bit) rarely occurs in clean training,
+    so its decode was a sequence-level knife edge (observed: '1ocale' ->
+    B-location dragging the following punctuation into I-location;
+    '0tite' -> O breaking the BIO chain so 'moyenne' fell to B-value).
+    For every example, emit a twin with the digit bit set on every token
+    and the gold unchanged: under the substitution model a digit image
+    adds no meaning GIVEN the other features. Phased like the fuzzy
+    twins — clean-zero is required, twin errors are minimized, so a
+    genuinely digit-discriminated pair would simply keep its twin error
+    rather than corrupt the clean decode."""
+    digit = ner._NF["digit"]
+    twins = []
+    for X, gold in examples:
+        lacking = X[:, digit] == 0.0
+        if lacking.any():
+            X2 = X.copy()
+            X2[:, digit] = 1.0
             twins.append((X2, gold))
     return twins
 
@@ -178,7 +206,7 @@ def train(examples, mask_epochs: int = 10):
     else:
         raise SystemExit(f"did not converge in {MAX_EPOCHS} epochs")
 
-    twins = _fuzzy_twins(examples)
+    twins = _fuzzy_twins(examples) + _digit_damage_twins(examples)
     if not twins:
         return W, epoch
     best, best_twin = W.copy(), _count_errors(W, twins)
