@@ -386,8 +386,19 @@ def main() -> None:
             "2832 | 76.01 | 1.076 |\n"
             "| r7 run2 (mirror-cache tree; cold kernel 216/core) | 16.53 | "
             "3024 | 74.31 | 1.124 |\n"
-            "| r7 run3 (final tree: noisy sig tiers + NER channels) | "
-            "18.55 | 2695 | 72.29 | 0.974 |\n\n"
+            "| r7 run3 (noisy sig tiers + NER channels) | "
+            "18.55 | 2695 | 72.29 | 0.974 |\n"
+            "| r7 run4 (final tree: noisy tier CLOSED, all 11 at 1.0) | "
+            "22.07 | 2266 | 85.87 | 0.973 |\n\n"
+            "The r7 run4 window ran ~13% slower than run3's on the "
+            "low-core gauge (582 vs 692 docs/s) and its cold-kernel "
+            "trials landed at 163 docs/s/core; a same-window interleaved "
+            "A/B of the final tree against the pre-NER-channel commit "
+            "measured cold 167.6/184.0 (new) vs 191.4/167.1 (old) — "
+            "overlapping ranges, so the noisy-tier damage tiers (section "
+            "signature scan, letterhead keyword tier, persname/dose "
+            "fuzzy mirrors) carry no measurable kernel cost; the deltas "
+            "are window noise.\n\n"
             "r3 run3 beats r1's 4151 docs/s record despite this window's "
             "low-core gauge running ~1.4x slower than r1's. The r4 corpus "
             "is measurably HARDER (the grammar emits the reference's full "
