@@ -389,7 +389,9 @@ def main() -> None:
             "| r7 run3 (noisy sig tiers + NER channels) | "
             "18.55 | 2695 | 72.29 | 0.974 |\n"
             "| r7 run4 (final tree: noisy tier CLOSED, all 11 at 1.0) | "
-            "22.07 | 2266 | 85.87 | 0.973 |\n\n"
+            "22.07 | 2266 | 85.87 | 0.973 |\n"
+            "| r7 run5 (final tree, slowest low-core window of the round) "
+            "| 21.81 | 2293 | 95.51 | 1.095 |\n\n"
             "The r7 run4 window ran ~13% slower than run3's on the "
             "low-core gauge (582 vs 692 docs/s) and its cold-kernel "
             "trials landed at 163 docs/s/core; a same-window interleaved "
