@@ -392,6 +392,12 @@ def main() -> None:
             "22.07 | 2266 | 85.87 | 0.973 |\n"
             "| r7 run5 (final tree, slowest low-core window of the round) "
             "| 21.81 | 2293 | 95.51 | 1.095 |\n\n"
+            "Run5's doc-table query times (q_doc_minhash_lsh 9.87 s, "
+            "q_doc_simhash 5.25 s, q_doc_fingerprint 1.23 s) are a "
+            "window artifact, not a regression: it ran right after the "
+            "1M-doc rehearsal evicted the page cache, and an immediate "
+            "re-measurement of the same tree gave 1.68 / 0.95 / 0.36 s "
+            "(run4, same code, had 1.20 / 0.95 / 0.26 s).\n\n"
             "The r7 run4 window ran ~13% slower than run3's on the "
             "low-core gauge (582 vs 692 docs/s) and its cold-kernel "
             "trials landed at 163 docs/s/core; a same-window interleaved "
