@@ -322,14 +322,33 @@ def dedup_groups_star(pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc from md5 nibbles of distinct tokens — pure
-    column expressions (JVM-side, whole-stage codegen)."""
+    column expressions (JVM-side, whole-stage codegen).
+
+    r8 per-token kernel: the md5 hex prefix is parsed ONCE into two
+    63-bit-safe integers (``conv(hex, 16, 10)`` over 8 chars each) and the
+    per-nibble high bit comes from a shift+mask — integer codegen — in
+    place of 16 ``substring(...).isin(8 literals)`` string probes per
+    token (measured −19% same-session; results bit-identical: the high
+    bit of hex digit j IS bit ``(7-j)*4+3`` of the parsed word, and
+    ``2*bit-1`` reproduces the ±1 sum exactly). An r8 experiment that
+    moved the whole sum per-row via higher-order ``filter``/``aggregate``
+    lambdas measured +24% — HOF lambdas evaluate interpreted, outside
+    whole-stage codegen, while this explode + partial-agg path stays fully
+    codegen'd and its exchange carries only one pre-aggregated row per doc."""
     d = _docs(spark, sf_dir)
     tok = (d.select("doc_id", F.explode(F.array_distinct(
         F.split(F.trim("text"), " "))).alias("t"))
-            .withColumn("h", F.md5("t")))
-    sums = [F.sum(F.when(F.substring("h", j + 1, 1)
-                          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-                   .otherwise(-1)).alias(f"s{j}") for j in range(16)]
+            .withColumn("h", F.md5("t"))
+            .withColumn("v1", F.conv(F.substring("h", 1, 8), 16, 10)
+                        .cast("bigint"))
+            .withColumn("v2", F.conv(F.substring("h", 9, 8), 16, 10)
+                        .cast("bigint")))
+
+    def bit(j: int):
+        word, r = ("v1", 7 - j) if j < 8 else ("v2", 15 - j)
+        return F.shiftright(word, r * 4 + 3).bitwiseAND(F.lit(1))
+
+    sums = [F.sum(bit(j) * 2 - 1).alias(f"s{j}") for j in range(16)]
     agg = tok.groupBy("doc_id").agg(*sums)
     bits = sum((F.when(F.col(f"s{j}") >= 0, 1 << j).otherwise(0))
                for j in range(16))

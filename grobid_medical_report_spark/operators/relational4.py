@@ -202,15 +202,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(o, F.col("l_orderkey") == o.o_orderkey)
          .withColumn("late", F.datediff("l_shipdate", "o_orderdate") > 60)
          .select("l_orderkey", "l_suppkey", "late"))
+    # r8: ONE aggregate replaces the old countDistinct pair + a second
+    # pass building distinct late pairs + a semi-join back. Per order the
+    # two collect_sets carry the (bounded: <= suppliers per order) distinct
+    # supplier sets; nsupp/nlate are their sizes, and when nlate == 1 the
+    # sole late supplier IS the singleton element — the exact row set the
+    # old late_pairs ⋉ per_order semi-join produced. Plan: the Expand node
+    # (countDistinct rewrite), two of the three fact-side Exchanges and the
+    # SortMergeJoin LeftSemi all disappear, and lineitem is scanned ONCE
+    # instead of twice.
     per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
-         .alias("nlate"))
-    late_pairs = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
-    sole_late = (late_pairs
-                 .join(per_order.filter((F.col("nsupp") > 1) &
-                                        (F.col("nlate") == 1)),
-                       "l_orderkey", "left_semi"))
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey")))
+         .alias("lates"))
+    sole_late = (per_order
+                 .filter((F.size("supps") > 1) & (F.size("lates") == 1))
+                 .select("l_orderkey",
+                         F.element_at("lates", 1).alias("l_suppkey")))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (sole_late.join(F.broadcast(s),
                            sole_late.l_suppkey == s.s_suppkey)

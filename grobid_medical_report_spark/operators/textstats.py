@@ -95,14 +95,22 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of the normalized text (X2 normalization +
-    hashing), plus duplicate-group size per fingerprint."""
+    hashing), plus duplicate-group size per fingerprint.
+
+    Window form (r8): count/min over ``partitionBy(fingerprint)`` replaces
+    the old groupBy + join-back — ONE scan (md5 computed once, not twice)
+    and ONE Exchange instead of two scans plus a join whose build side was
+    the full-cardinality fingerprint aggregate (broadcast at small SF, but
+    unbroadcastable — a second full shuffle — at corpus scale)."""
+    from pyspark.sql.window import Window as W
+
     d = _docs(spark, sf_dir)
     fp = d.select("doc_id",
                   F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
-    groups = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"),
-                                           F.min("doc_id").alias("keeper"))
-    return (fp.join(groups, "fingerprint")
-              .select("doc_id", "fingerprint", "group_size", "keeper"))
+    w = W.partitionBy("fingerprint")
+    return fp.select("doc_id", "fingerprint",
+                     F.count(F.lit(1)).over(w).alias("group_size"),
+                     F.min("doc_id").over(w).alias("keeper"))
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
