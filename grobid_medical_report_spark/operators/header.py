@@ -196,7 +196,12 @@ def _civ_split_token(ft: str) -> bool:
                for a, b in zip(ws, ws[1:]))
 
 
+@lru_cache(maxsize=131072)
 def _has_civility(ft: str) -> bool:
+    # memoized (r8): header_line_features probes the SAME fold three times
+    # per line (c_title_tok, the c_street_tok guard, _neighbor_probe), and
+    # the split/sig tiers re-tokenize on every call — one cached result per
+    # distinct fold serves all three probes (pure function of ft)
     return any(c in ft for c in _F_CIVILITY) or _civ_sig_token(ft) \
         or _civ_split_token(ft)
 

@@ -214,6 +214,29 @@ def _persname_title_fuzzy() -> re.Pattern:
     return _RE_PERSNAME_TITLE_F
 
 
+_TITLE_FOLDS: tuple[str, ...] | None = None
+_ROLE_FOLDS: tuple[str, ...] | None = None
+
+
+def _title_folds() -> tuple[str, ...]:
+    """Folded title literals — the substring gate for the persname fuzzy
+    scan (any regex match site must contain one of these verbatim)."""
+    global _TITLE_FOLDS
+    if _TITLE_FOLDS is None:
+        _TITLE_FOLDS = tuple(sorted(
+            {_fold(w) for w in ("Madame", "Monsieur", "Docteur", "Dr", "Pr")}))
+    return _TITLE_FOLDS
+
+
+def _role_folds() -> tuple[str, ...]:
+    global _ROLE_FOLDS
+    if _ROLE_FOLDS is None:
+        _ROLE_FOLDS = tuple(sorted(
+            {_fold(w) for w in ("Patiente", "Patient", "Opérateur",
+                                "Anesthésiste")}))
+    return _ROLE_FOLDS
+
+
 @lru_cache(maxsize=65536)
 def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
     """(start, end, category) fuzzy hits: folded-lexicon matches over the
@@ -237,19 +260,25 @@ def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
                 e = ext.end()      # the exact path's dose fold-in, fuzzy
         out.append((m.start(), e, cat))
     dirty = False
-    for m in _persname_title_fuzzy().finditer(folded):
-        tail = _RE_PERSNAME_TAIL.match(text, m.end())
-        if tail:
-            s, e = m.start(), tail.end()
-            if e == len(text) - 1 and text.endswith("."):
-                e += 1     # the exact path's end-of-text period fold-in
-            out.append((s, e, "persname"))
-            dirty = True
-    for m in _rolename_fuzzy().finditer(folded):
-        c0 = text[m.start()]
-        if not c0.islower():       # exact path's isupper gate, damage-wide
-            out.append((m.start(), m.end(), "rolename"))
-            dirty = True
+    # C-level substring gates before the title/role finditer passes (r8,
+    # mirroring the exact path's gates): the regexes only match where one
+    # of their folded literals occurs, so a gate miss skips the whole scan
+    # with the match set unchanged
+    if any(w in folded for w in _title_folds()):
+        for m in _persname_title_fuzzy().finditer(folded):
+            tail = _RE_PERSNAME_TAIL.match(text, m.end())
+            if tail:
+                s, e = m.start(), tail.end()
+                if e == len(text) - 1 and text.endswith("."):
+                    e += 1     # the exact path's end-of-text period fold-in
+                out.append((s, e, "persname"))
+                dirty = True
+    if any(w in folded for w in _role_folds()):
+        for m in _rolename_fuzzy().finditer(folded):
+            c0 = text[m.start()]
+            if not c0.islower():   # exact path's isupper gate, damage-wide
+                out.append((m.start(), m.end(), "rolename"))
+                dirty = True
     if "/" in text:        # implied by the fuzzy date shape (cold-path gate)
         out += [(m.start(), m.end(), "date")
                 for m in RE_DATE_FUZZY.finditer(text)]

@@ -611,6 +611,21 @@ def line_features(texts: list[str], is_media: np.ndarray,
     training (tools/train_segmenter.py) and inference. Content patterns,
     page-position front gate, repetition counts, and (when present) the
     layout attr bands of SURVEY §1.1."""
+    return _line_features_and_gate(texts, is_media, first_chunk, layout)[0]
+
+
+def _line_features_and_gate(texts: list[str], is_media: np.ndarray,
+                            first_chunk: bool = True,
+                            layout: dict | None = None
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """(features, annex-gate) in ONE pass — the hot-path form (r8): the
+    per-line ``_main_kind``/``_fuzzy_facts`` probes are already computed
+    here, so :func:`_emissions_fitted` reads the annex gate from the same
+    pass instead of re-probing every line through
+    :func:`annex_marker_mask` (the standalone mask stays for training /
+    eval callers; byte-identical by construction — the gate predicate is
+    the same ``main == 'annex' or fuzzy main == 'annex'`` on non-media
+    lines)."""
     n = len(texts)
     X = np.zeros((n, len(FEATURES)), dtype=np.float64)
     X[:, _FI["bias"]] = 1.0
@@ -660,6 +675,7 @@ def line_features(texts: list[str], is_media: np.ndarray,
     # where the family-A textual shapes do not (format-shift tier: B-side
     # header/leftnote confusion at rotated block boundaries)
     xs_l = layout["x"].tolist() if layout is not None else None
+    gate = np.zeros(n, dtype=bool)
     for i, t in enumerate(texts):
         if im[i]:
             continue
@@ -669,6 +685,8 @@ def line_features(texts: list[str], is_media: np.ndarray,
         fg, chu, serv, pg, pc5 = fuzz[i]
         if fg is not None:
             hits.setdefault(_FM_COL[fg], []).append(i)
+        if g == "annex" or fg == "annex":
+            gate[i] = True
         if chu:
             hits.setdefault(_C_CHU, []).append(i)
         if serv:
@@ -735,7 +753,7 @@ def line_features(texts: list[str], is_media: np.ndarray,
     pf[0] = True
     pf[1:] = page_mark[:-1]
     X[:, _FI["page_first"]] = pf & ~is_media
-    return X
+    return X, gate
 
 
 def annex_marker_mask(texts: list[str], is_media: np.ndarray) -> np.ndarray:
@@ -774,9 +792,9 @@ def _emissions_fitted(texts: list[str], is_media: np.ndarray,
                       first_chunk: bool = True,
                       layout: dict | None = None,
                       W: np.ndarray | None = None) -> np.ndarray:
-    X = line_features(texts, is_media, first_chunk, layout)
+    X, gate = _line_features_and_gate(texts, is_media, first_chunk, layout)
     em = X @ (W if W is not None else _model_weights()).T
-    em[~annex_marker_mask(texts, is_media), _Z["annex_b"]] = -1e9
+    em[~gate, _Z["annex_b"]] = -1e9
     return em
 
 
