@@ -118,35 +118,44 @@ def minhash_band_rows(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same output as :func:`brute_ngram_jaccard`, via MinHash LSH, but the
-    whole signature stage is SHUFFLE-FREE: shingles stay a per-doc array
-    column (``array_distinct``), the K minhashes are ``array_min`` over
-    per-row ``transform``s (pure codegen, no groupBy), and exact
-    verification is ``size(array_intersect(...))`` on the two docs' shingle
-    arrays instead of an exploded shingle⋈shingle join. Banding uses r=2
-    (AND of 2 minhashes per band, b=K/2 bands): a random non-dup pair must
-    collide on BOTH hashes of some band, which empirically cuts candidates
-    from ~157k (r=1) to ~the true-pair count at sf0.1, while a j>=0.8 pair
-    is missed with probability (1-j^2)^8 <= 4e-4 per pair — and the seeded
-    corpus is verified pair-identical to the brute-force oracle at every SF
-    tier (tools/check_oracles.py).
+    """Same output as :func:`brute_ngram_jaccard`, via MinHash LSH.
+    Exact verification is ``size(array_intersect(...))`` on the two docs'
+    shingle arrays instead of an exploded shingle⋈shingle join. Banding
+    uses r=2 (AND of 2 minhashes per band, b=K/2 bands): a random non-dup
+    pair must collide on BOTH hashes of some band, which empirically cuts
+    candidates from ~157k (r=1) to ~the true-pair count at sf0.1, while a
+    j>=0.8 pair is missed with probability (1-j^2)^8 <= 4e-4 per pair —
+    and the seeded corpus is verified pair-identical to the brute-force
+    oracle at every SF tier (tools/check_oracles.py).
 
-    Scale note: the only shuffles left are the tiny (band, h1, h2) exchange
-    (b rows/doc) and the candidate joins back to the doc table — exactly
-    the pieces that must shuffle on a 1000-executor run."""
+    r8 signature stage: each shingle is hashed to int64 ONCE and the K
+    minhashes are ``min`` aggregates of ``xxhash64(i, h)`` over the
+    exploded hash rows — whole-stage codegen end to end, where the old
+    per-row ``array_min(transform(sh, xxhash64(i, s)))`` paid K
+    interpreted-HOF passes re-hashing every shingle STRING per pass
+    (measured −35% interleaved same-session; same A/B shape as the
+    q_doc_simhash HOF-vs-explode result). The added exchange carries one
+    partial-agg'd row per doc (K bigints) — the map-side partial min
+    keeps it tiny at any scale.
+
+    Scale note: the shuffles are the per-doc signature exchange, the tiny
+    (band, h1, h2) exchange (b rows/doc) and the candidate joins back to
+    the doc table — exactly the pieces that must shuffle on a
+    1000-executor run."""
     docs = _shingle_arrays(_docs(spark, sf_dir)).cache()
 
-    def mh(i: int):
-        # two-arg xxhash64 seeds the hash family without a string concat
-        return F.array_min(F.transform(
-            "sh", lambda s: F.xxhash64(F.lit(i), s)))
-
+    mins = (docs.select("doc_id", F.explode("sh").alias("s"))
+                .withColumn("h", F.xxhash64("s"))
+                .groupBy("doc_id")
+                .agg(*[F.min(F.xxhash64(F.lit(i), "h")).alias(f"m{i}")
+                       for i in range(MINHASH_K)]))
     n_bands = MINHASH_K // 2
-    bands = docs.select(
+    bands = mins.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     mh(2 * i).alias("h1"), mh(2 * i + 1).alias("h2"))
+                     F.col(f"m{2 * i}").alias("h1"),
+                     F.col(f"m{2 * i + 1}").alias("h2"))
             for i in range(n_bands)])).alias("bh"))
     # candidates via groupBy + in-bucket pair expansion: ONE pass over the
     # minhash stage and one shuffle, where a self-join would recompute all
