@@ -13,10 +13,10 @@ Corpus-curation primitives for a training-data pipeline at 100 TB scale:
 Scale notes: the brute shingle self-join shuffles on the shingle key and is
 quadratic in shingle frequency — it is deliberately NOT a standing query;
 the LSH band join shuffles on (band, hash) which is uniformly distributed
-by construction. Here bands use r=1 (any matching
-minhash ⇒ candidate) which makes recall ≥ 1-(1-j)^K — at the 0.8 threshold
-the miss probability is < 1e-11, so LSH+verify is value-identical to the
-exact oracle; a production run at lower thresholds would use r=2..4 bands.
+by construction. Bands use r=2 (AND of two minhashes per band, b=K/2
+bands — see :func:`q_doc_minhash_lsh` for the recall arithmetic), and
+LSH+verify is checked value-identical to the exact brute-force oracle at
+every SF tier.
 """
 
 from __future__ import annotations

@@ -37,6 +37,17 @@ def test_minhash_lsh_no_cartesian_no_sortmerge(spark, queries):
     assert "BroadcastHashJoin" in p
 
 
+def test_minhash_signature_stage_is_codegen_agg(spark, queries):
+    """r8: the K minhashes must come from partial-min AGGREGATES over the
+    exploded int64 shingle hashes (whole-stage codegen, map-side partial
+    agg), not from K interpreted array_min(transform(...)) passes that
+    re-hash every shingle string per pass (measured 35% slower)."""
+    p = _plan(queries["q_doc_minhash_lsh"](spark, SF))
+    assert "partial_min(xxhash64(0" in p, \
+        "signature stage lost its map-side partial min aggregates"
+    assert "array_min" not in p, "HOF signature pass is back"
+
+
 def test_near_dup_blocked_gemm_no_pair_join(spark, queries):
     """q_emb_near_dup must stay a blocked GEMM: no row-pair join of any
     kind — the pair work lives inside the grouped Python stage."""
