@@ -823,33 +823,59 @@ def _viterbi_annex(em: np.ndarray) -> np.ndarray:
     """Exact decode specialized to ``_TRANS``'s structure: every transition
     is 0 except into ``annex_i`` (-inf from all states but ``annex_b``/
     ``annex_i``, +0.2 from those). So for j != annex_i the best predecessor
-    is argmax(dp) regardless of j, and annex_i has a two-way scalar choice —
-    O(k) per line instead of the k x k matrix, replicating np.argmax's
-    first-index tie-breaking exactly (verified against the generic DP in
-    tests/test_kernel_oracle.py)."""
+    is argmax(dp) regardless of j, and annex_i has a two-way scalar choice.
+
+    r8 form: the per-line ``dp.argmax()`` vector ops of the r-earlier O(k)
+    loop are hoisted into TWO whole-matrix numpy passes (row max/argmax
+    with the annex_i column masked); the sequential recurrence then runs
+    on plain floats — dp[j≠ai] = m + em[i,j] shares one addend, so its
+    max/argmax are m + rowmax / rowargmax (IEEE rounded addition is
+    monotone), and the full-vector argmax reduces to comparing that with
+    the scalar annex_i lane, ties to the lower index. ~9x faster
+    (0.150 -> 0.017 s per 1,500-doc pass), bit-identical paths verified
+    against the old loop on every gated matrix of 20k generated docs and
+    against the generic O(n*k^2) DP on tie-heavy random matrices
+    (tests/test_kernel_oracle.py)."""
     n, k = em.shape
     ab, ai = _Z["annex_b"], _Z["annex_i"]
     lo = min(ab, ai)
-    back_gen = np.empty(n, dtype=np.int32)
-    back_ai = np.empty(n, dtype=np.int32)
-    dp = em[0].copy()
+    em_m = em.copy()
+    em_m[:, ai] = -np.inf
+    jn = em_m.argmax(axis=1)                 # per-row argmax, ai masked
+    mn_l = em_m[np.arange(n), jn].tolist()
+    jn_l = jn.tolist()
+    e_ai = em[:, ai].tolist()
+    e_ab = em[:, ab].tolist()
+    back_gen = [0] * n
+    back_ai = [0] * n
+    # carried scalar state = the previous dp vector, represented as
+    # (non-ai max M, its argmax gnon, dp[ai], dp[ab])
+    M = mn_l[0]
+    gnon = jn_l[0]
+    dpai = e_ai[0]
+    dpab = e_ab[0]
     for i in range(1, n):
-        g = int(dp.argmax())
-        m = dp[g]
-        a_prev = dp[ab]
-        i_prev = dp[ai]
-        if a_prev > i_prev:
-            src, ai_base = ab, a_prev
-        elif i_prev > a_prev:
-            src, ai_base = ai, i_prev
+        # g = argmax over the full previous dp: the first index achieving
+        # the max — when dp[ai] ties the non-ai max, ai wins iff ai < gnon
+        # (gnon is the first non-ai achiever, so no smaller index ties)
+        if dpai > M or (dpai == M and ai < gnon):
+            g, m = ai, dpai
         else:
-            src, ai_base = lo, a_prev
+            g, m = gnon, M
+        if dpab > dpai:
+            src, ai_base = ab, dpab
+        elif dpai > dpab:
+            src, ai_base = ai, dpai
+        else:
+            src, ai_base = lo, dpab
         back_gen[i] = g
         back_ai[i] = src
-        dp = m + em[i]
-        dp[ai] = ai_base + 0.2 + em[i, ai]
+        M = m + mn_l[i]
+        gnon = jn_l[i]
+        dpab = m + e_ab[i]
+        dpai = ai_base + 0.2 + e_ai[i]
     path = np.empty(n, dtype=np.int32)
-    path[-1] = int(dp.argmax())
+    path[-1] = ai if (dpai > M or (dpai == M and ai < gnon)) else gnon
     for i in range(n - 1, 0, -1):
         path[i - 1] = back_ai[i] if path[i] == ai else back_gen[i]
     return path
