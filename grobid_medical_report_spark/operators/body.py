@@ -235,9 +235,11 @@ def body_line_features(text: str, lay_heading: bool = False,
     # semantics identical, but multi-hundred-char paragraphs skip the
     # per-char scan entirely)
     if len(text.split(None, 8)) <= 8:
-        alpha = [c for c in text if c.isalpha()]
+        # filter/map keep the exact per-char isalpha/isupper predicates but
+        # run the loop dispatch in C (~20% on this check, r8)
+        alpha = list(filter(str.isalpha, text))
         if (4 <= len(alpha)
-                and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha)):
+                and sum(map(str.isupper, alpha)) >= 0.8 * len(alpha)):
             f.append(_BF["c_caps_head"])
     fig, tab, med, sec, sub = _fz_flags(text)
     if fig:

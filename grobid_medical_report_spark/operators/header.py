@@ -309,8 +309,9 @@ def header_line_features(t: str, largest: bool = False,
         f.append(_HF["f_medic"])
     if ", ie " in ft and "/" in t:
         f.append(_HF["f_dateline"])
-    alpha = [c for c in t if c.isalpha()]
-    if len(alpha) >= 8 and sum(c.isupper() for c in alpha) >= 0.8 * len(alpha):
+    # filter/map: exact per-char predicates, C-level loop dispatch (r8)
+    alpha = list(filter(str.isalpha, t))
+    if len(alpha) >= 8 and sum(map(str.isupper, alpha)) >= 0.8 * len(alpha):
         f.append(_HF["f_mostly_upper"])
     has_digit = _RE_DIGIT.search(t) is not None
     if has_digit and _RE_DATE_TOK_F.search(ft):
