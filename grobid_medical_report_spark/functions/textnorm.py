@@ -112,3 +112,22 @@ def ocr_fold(text: str) -> str:
     facts, header/leftnote probes, body damage signatures) — ~145k calls
     per 1500 cold docs over far fewer distinct strings."""
     return text.lower().translate(_OCR_FOLD_TBL)
+
+
+def anchored_search(text: str, lits: tuple[str, ...], rx: re.Pattern) -> bool:
+    """``rx.search(text) is not None`` for a literal-anchored pattern:
+    every match of ``rx`` starts with one of ``lits`` verbatim, so C-level
+    ``str.find`` locates the only possible start positions and the regex
+    runs anchored there (``rx.match(text, p)`` still evaluates lookbehind /
+    ``\\b`` guards against the preceding context). Existence-equivalence
+    (r8): a search hit starts at a literal occurrence, and a match at a
+    literal occurrence is a search hit."""
+    find = text.find
+    rxm = rx.match
+    for lit in lits:
+        i = find(lit)
+        while i != -1:
+            if rxm(text, i):
+                return True
+            i = find(lit, i + 1)
+    return False

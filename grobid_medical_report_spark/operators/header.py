@@ -19,7 +19,8 @@ import re
 from typing import Any
 
 from ..functions.dates import parse_date_iso
-from ..functions.textnorm import merge_field, normalize_space, ocr_fold
+from ..functions.textnorm import (anchored_search, merge_field,
+                                  normalize_space, ocr_fold)
 from .segmenter import (RE_AGE, RE_BIRTH, RE_DATELINE, RE_DOCNUM, RE_DOCTYPE,
                         RE_IDNO, RE_MEDIC_LINE, RE_PADDR, RE_PATIENT_NAME,
                         RE_SEX)
@@ -131,6 +132,10 @@ _RE_DATE_TOK_F = re.compile(
 _RE_DR_TOK_F = re.compile(r"\b(?:dr|doeteur|pr|protesseur)\b")
 _RE_DIGITS_RUN_F = re.compile(r"[0-9oizsb]{6,}")
 _RE_ANS_TOK_F = re.compile(r"\bons\b")
+#: start literals anchoring the two probes above (textnorm.anchored_search
+#: replaces the char-by-char scans with C find passes, r8)
+_DR_LITS = ("dr", "doeteur", "pr", "protesseur")
+_ANS_LITS = ("ons",)
 _RE_DIGIT = re.compile(r"\d")
 #: ALL-CAPS run of >= 2 letters on the RAW line (placenames: 'DIJON');
 #: case survives OCR substitution classes, so raw is the right side
@@ -239,7 +244,7 @@ def _neighbor_probe(t: str) -> int:
     bits = 0
     if any(d in ft for d in _F_DOCTYPE):
         bits |= _PROBE_DOCTYPE
-    if _RE_DR_TOK_F.search(ft):
+    if anchored_search(ft, _DR_LITS, _RE_DR_TOK_F):
         bits |= _PROBE_DR
     if _has_civility(ft) or ft.startswith("sexe") or "ne(e)" in ft:
         bits |= _PROBE_PATIENTISH
@@ -314,17 +319,20 @@ def header_line_features(t: str, largest: bool = False,
     if len(alpha) >= 8 and sum(map(str.isupper, alpha)) >= 0.8 * len(alpha):
         f.append(_HF["f_mostly_upper"])
     has_digit = _RE_DIGIT.search(t) is not None
-    if has_digit and _RE_DATE_TOK_F.search(ft):
+    # one DATE_TOK scan for both the c_date_tok and c_date_place/_noplace
+    # features (the probe ran twice per line before r8)
+    date_tok = has_digit and _RE_DATE_TOK_F.search(ft) is not None
+    if date_tok:
         f.append(_HF["c_date_tok"])
-    if _RE_ANS_TOK_F.search(ft):
+    if anchored_search(ft, _ANS_LITS, _RE_ANS_TOK_F):
         f.append(_HF["c_ans_tok"])
     if _has_civility(ft):
         f.append(_HF["c_title_tok"])
-    if _RE_DR_TOK_F.search(ft):
+    if anchored_search(ft, _DR_LITS, _RE_DR_TOK_F):
         f.append(_HF["c_dr_tok"])
     if has_digit and _RE_DIGITS_RUN_F.search(ft):
         f.append(_HF["c_digits_run"])
-    if has_digit and _RE_DATE_TOK_F.search(ft):
+    if date_tok:
         if _caps_run(t):
             f.append(_HF["c_date_place"])
         else:
