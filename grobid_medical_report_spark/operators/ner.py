@@ -52,7 +52,6 @@ RE_DOSE_EXT = re.compile(r" \d+ ?mg(?: ?\*\d+)?")
 #: (processFrenchMedicalNERFromPDF.xml tags the bare 2 as <value>)
 RE_PAREN_VALUE = re.compile(r"\((\d+)\b(?! ?mg)")
 RE_ALL_DASH = re.compile(r"-{4,}")
-_RE_ANY_DIGIT = re.compile(r"\d")
 
 #: reference-model context quirks, mirrored verbatim from the expected
 #: outputs (processFrenchMedicalNERFromPDF.xml): these terms are NOT tagged
@@ -276,6 +275,58 @@ def _anchored_matches(text: str, lits: tuple[str, ...], rx: re.Pattern):
 _PERSNAME_LITS = ("Madame", "Monsieur", "Docteur", "Dr", "Pr")
 _ROLENAME_LITS = ("Patient", "Opérateur", "Anesthésiste")
 
+#: anchor literals / back-scan classes for the digit-shape scans (r8):
+#: every date match contains '/', every value-unit match contains
+#: ' <unit>' verbatim, with the value run immediately before it
+_VU_UNIT_LITS = (" ans", " SA", " mg", " ml", " cm", " kg")
+_VU_UNIT_LITS_F = (" ans", " ons", " ams", " SA", " mg", " ml", " m1",
+                   " cm", " kg")
+_VAL_DIGITS = frozenset("0123456789")
+_VAL_FUZZY = frozenset("0123456789oOlIzZsSbB")
+
+
+def _backscan_matches(text: str, lits: tuple[str, ...], rx: re.Pattern,
+                      valchars: frozenset):
+    """Replicate ``rx.finditer(text)`` for value-run-then-literal shapes
+    (RE_DATE, RE_VALUE_UNIT and their fuzzy twins): every match contains
+    one of ``lits`` verbatim, immediately preceded by the match's leading
+    value-char run. The pattern's left boundary guard means a match can
+    only START where that run starts (the value class is all ``\\w``, so
+    interior positions fail the boundary) — C-level ``str.find`` locates
+    the literals, a back-scan finds the run start, and the regex runs
+    anchored there. The back-scan accepts a SUPERSET of the pattern's
+    value class that stays inside ``\\w`` (``str.isdigit()`` covers every
+    ``\\d`` char incl. Unicode digits): a true match's start has a non-\\w
+    char before it so the superset run start lands exactly on it, and any
+    extra candidate position just fails the anchored match. Equivalence
+    with finditer verified corpus-wide (clean + 0.4-corrupted + adversarial
+    forms, tools/exp_digit_scan.py; pinned in tests/test_anchored_scan.py)."""
+    pos: list[int] = []
+    find = text.find
+    for lit in lits:
+        i = find(lit)
+        while i != -1:
+            pos.append(i)
+            i = find(lit, i + 1)
+    if not pos:
+        return
+    pos.sort()
+    last = 0
+    prev = -1
+    rxm = rx.match
+    for p in pos:
+        j = p - 1
+        while j >= 0 and (text[j] in valchars or text[j].isdigit()):
+            j -= 1
+        s = j + 1
+        if s == p or s < last or s == prev:
+            continue
+        prev = s
+        m = rxm(text, s)
+        if m:
+            yield m
+            last = m.end()
+
 
 @lru_cache(maxsize=65536)
 def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
@@ -319,15 +370,16 @@ def fuzzy_candidates(text: str) -> tuple[tuple[int, int, str], ...]:
         if not c0.islower():   # exact path's isupper gate, damage-wide
             out.append((m.start(), m.end(), "rolename"))
             dirty = True
-    if "/" in text:        # implied by the fuzzy date shape (cold-path gate)
-        out += [(m.start(), m.end(), "date")
-                for m in RE_DATE_FUZZY.finditer(text)]
+    # digit-shape scans, find-anchored (r8): the '/' and ' <unit>' literal
+    # finds replace both the substring gates and the char-by-char finditer
+    for m in _backscan_matches(text, ("/",), RE_DATE_FUZZY, _VAL_FUZZY):
+        out.append((m.start(), m.end(), "date"))
         dirty = True
-    if _RE_ANY_DIGIT.search(text):   # implied by the value shape (gate)
-        for m in RE_VALUE_UNIT_FUZZY.finditer(text):
-            out.append((m.start(1), m.end(1), "value"))
-            out.append((m.start(2), m.end(2), "unit"))
-            dirty = True
+    for m in _backscan_matches(text, _VU_UNIT_LITS_F,
+                               RE_VALUE_UNIT_FUZZY, _VAL_FUZZY):
+        out.append((m.start(1), m.end(1), "value"))
+        out.append((m.start(2), m.end(2), "unit"))
+        dirty = True
     if dirty:
         out.sort()         # lexicon hits alone arrive start-sorted from
     return tuple(out)      # finditer — appends can disorder them
@@ -369,28 +421,27 @@ def candidates(text: str) -> list[tuple[int, int, int, int, str, str]]:
             e += 1          # end-of-text period folds in ("urgences.")
         cands.append((s, s - e, _PRIORITY.get(cat, 9), e, cat, text[s:e]))
 
-    # C-level substring gates before the digit-shaped scans (cold path:
-    # each skipped finditer saves a full pass over the text; the gates are
-    # implied by the patterns, so the match sets are unchanged)
-    has_digit = _RE_ANY_DIGIT.search(text) is not None
-    if has_digit and "/" in text:
-        for m in RE_DATE.finditer(text):
-            s, e = m.start(), m.end()
-            cands.append((s, s - e, _PRIORITY["date"], e, "date",
-                          m.group(0)))
-    if has_digit:
-        for m in RE_VALUE_UNIT.finditer(text):
-            s, e = m.start(1), m.end(1)
-            cands.append((s, s - e, _PRIORITY["value"], e, "value",
-                          m.group(1)))
-            s, e = m.start(2), m.end(2)
-            cands.append((s, s - e, _PRIORITY["unit"], e, "unit",
-                          m.group(2)))
-        if "(" in text:
-            for m in RE_PAREN_VALUE.finditer(text):
-                s, e = m.start(1), m.end(1)
-                cands.append((s, s - e, _PRIORITY["value"], e, "value",
-                              m.group(1)))
+    # digit-shape scans, find-anchored (r8, replacing the r7 substring
+    # gates): dates anchor on '/', value-units on their ' <unit>' literal,
+    # paren values on '(' — each C-level find pass subsumes its old gate
+    # and skips the char-by-char finditer; match sets unchanged
+    # (tools/exp_digit_scan.py identity run, tests/test_anchored_scan.py)
+    for m in _backscan_matches(text, ("/",), RE_DATE, _VAL_DIGITS):
+        s, e = m.start(), m.end()
+        cands.append((s, s - e, _PRIORITY["date"], e, "date",
+                      m.group(0)))
+    for m in _backscan_matches(text, _VU_UNIT_LITS, RE_VALUE_UNIT,
+                               _VAL_DIGITS):
+        s, e = m.start(1), m.end(1)
+        cands.append((s, s - e, _PRIORITY["value"], e, "value",
+                      m.group(1)))
+        s, e = m.start(2), m.end(2)
+        cands.append((s, s - e, _PRIORITY["unit"], e, "unit",
+                      m.group(2)))
+    for m in _anchored_matches(text, ("(",), RE_PAREN_VALUE):
+        s, e = m.start(1), m.end(1)
+        cands.append((s, s - e, _PRIORITY["value"], e, "value",
+                      m.group(1)))
     # find-anchored title/role scans (r8, replacing the r7 substring
     # gates): RE_PERSNAME/RE_ROLENAME only match at their literal start
     # tokens, so _anchored_matches runs the regex anchored at C-located

@@ -63,6 +63,39 @@ def test_ner_anchored_matches_equals_finditer():
                     for m in N._rolename_fuzzy().finditer(f)]), t
 
 
+_ADV_D = [
+    "", "/", "//", "a/b", "1/", "/1", "1/2", "12/3/45", "123/4", "a23/4",
+    "1/2/3/45", "xo12 mg", "12  mg", "a12 mg", "sans ans", "une anse",
+    "12 m1", "3 ans.", "(12 mg)", "(12mg)", "(007", "x(12", "((8))",
+    "l2/o3/1985", "12/o3", "o/o", "5 SA", "b8 kg", "12 ons", "12 ams",
+    "12 ansx", "12/34/5678/90", "1/2 3/4", "9/9/99", "(1)(2)(3)",
+    "dose 1000 mg * 2", "Zl/lZ/ZOZl", "12 mg", "١٢/3", "²12/3", "1²2/3",
+    "12/13 14 ans (15", "Tension 12/8", "(" * 50 + "9",
+    "9 " + "mg" * 30, "1" * 300 + "/2", "m1 m1 1 m1",
+]
+
+
+def test_backscan_matches_equals_finditer():
+    """The r8 digit-shape anchored scans (date / value-unit / paren and
+    fuzzy twins) must reproduce finditer exactly — including Unicode
+    digits, overlap-resume and boundary edge forms."""
+    lines = _lines() + _ADV_D
+    cases = [
+        (("/",), N.RE_DATE, N._VAL_DIGITS),
+        (("/",), N.RE_DATE_FUZZY, N._VAL_FUZZY),
+        (N._VU_UNIT_LITS, N.RE_VALUE_UNIT, N._VAL_DIGITS),
+        (N._VU_UNIT_LITS_F, N.RE_VALUE_UNIT_FUZZY, N._VAL_FUZZY),
+    ]
+    for t in lines:
+        for lits, rx, chars in cases:
+            assert ([m.span() for m in N._backscan_matches(t, lits, rx,
+                                                           chars)]
+                    == [m.span() for m in rx.finditer(t)]), (t, rx.pattern)
+        assert ([m.span() for m in
+                 N._anchored_matches(t, ("(",), N.RE_PAREN_VALUE)]
+                == [m.span() for m in N.RE_PAREN_VALUE.finditer(t)]), t
+
+
 def test_probe_anchored_search_equals_search():
     folds = [ocr_fold(t) for t in _lines()] + _ADV_F
     for ft in folds:
